@@ -1,0 +1,239 @@
+"""Point-cloud tensor schema and kernels.
+
+TPU-first replacement for PCL containers and filters: clouds are fixed-shape
+tensors with validity masks (XLA needs static shapes; the reference's dynamic
+``push_back`` style cannot compile). Three layouts:
+
+* raw padded batch  ``PointBatch``: (N, 3) xyz + (N,) mask [+ aux channels]
+* dense range image ``RangeImage``: (rings, W) grid in scan order — the
+  TPU-native equivalent of A-LOAM's per-ring concatenated cloud
+  (``scanRegistration.cpp:160-252``); azimuth column index encodes relative
+  scan time exactly like the reference packs ``scanID + 0.1*relTime`` into
+  intensity (``scanRegistration.cpp:238-239``).
+* compacted rings: valid points shifted to the front of each ring row so the
+  ±5-neighbor curvature stencil sees *consecutive returns*, matching the
+  reference's compacted per-ring indexing (``scanRegistration.cpp:246-266``).
+
+The voxel-grid downsample (≡ pcl::VoxelGrid, ``scanRegistration.cpp:401-407``)
+is sort-based: hash → sort by cell id → segment-mean over runs. No host loops,
+no dynamic allocation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PointBatch(NamedTuple):
+    """Fixed-size padded point set."""
+
+    xyz: jax.Array   # (N, 3) float32
+    mask: jax.Array  # (N,)   bool — True for real points
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[-2]
+
+
+class RangeImage(NamedTuple):
+    """Dense (rings, W) scan grid in azimuth scan order."""
+
+    xyz: jax.Array       # (R, W, 3)
+    valid: jax.Array     # (R, W) bool
+    rel_time: jax.Array  # (R, W) float32, in [0, 1): fraction of scan period
+
+
+class CompactScan(NamedTuple):
+    """Per-ring front-compacted points (scan order preserved)."""
+
+    xyz: jax.Array       # (R, W, 3)
+    valid: jax.Array     # (R, W) bool; valid[r, :count[r]] all True
+    rel_time: jax.Array  # (R, W)
+    count: jax.Array     # (R,) int32
+
+
+def ring_index_hdl(xyz: jax.Array, n_scans: int) -> tuple[jax.Array, jax.Array]:
+    """Vertical-angle → ring id, vectorized over (N, 3) points.
+
+    Same formulas as the reference (``scanRegistration.cpp:168-199``) for
+    16 / 32 / 64-beam Velodynes, including the HDL-64 [2°, -24.33°] split and
+    its >50 outlier-ring rejection.
+
+    Returns (ring_id int32, in_fov bool).
+    """
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    angle = jnp.degrees(jnp.arctan2(z, jnp.sqrt(x * x + y * y)))
+    if n_scans == 16:
+        ring = jnp.floor((angle + 15.0) / 2.0 + 0.5).astype(jnp.int32)
+        ok = (ring >= 0) & (ring <= n_scans - 1)
+    elif n_scans == 32:
+        ring = jnp.floor((angle + 92.0 / 3.0) * 3.0 / 4.0).astype(jnp.int32)
+        ok = (ring >= 0) & (ring <= n_scans - 1)
+    elif n_scans == 64:
+        upper = jnp.floor((2.0 - angle) * 3.0 + 0.5).astype(jnp.int32)
+        lower = n_scans // 2 + jnp.floor((-8.83 - angle) * 2.0 + 0.5).astype(jnp.int32)
+        ring = jnp.where(angle >= -8.83, upper, lower)
+        ok = (angle <= 2.0) & (angle >= -24.33) & (ring >= 0) & (ring <= 50)
+    else:
+        raise ValueError(f"unsupported n_scans={n_scans}")
+    return ring, ok
+
+
+def build_range_image(
+    points: jax.Array,
+    mask: jax.Array,
+    *,
+    n_scans: int,
+    width: int,
+    min_range: float,
+    max_range: float = 1e9,
+) -> RangeImage:
+    """Raw (N, 3) cloud → dense (rings, W) scan grid.
+
+    Replaces the ring-bucketing loop of ``scanRegistration.cpp:160-241``:
+    azimuth directly indexes the W columns (the reference's ``relTime`` is the
+    same azimuth fraction), the min-range filter replaces
+    ``removeClosedPointCloud`` (``:85-112``). Collisions within a cell keep the
+    nearest return (scatter-min on range).
+    """
+    x, y = points[..., 0], points[..., 1]
+    rng_sq = jnp.sum(points * points, axis=-1)
+    ring, in_fov = ring_index_hdl(points, n_scans)
+    ok = (
+        mask
+        & in_fov
+        & (rng_sq > min_range * min_range)
+        & (rng_sq < max_range * max_range)
+        & jnp.all(jnp.isfinite(points), axis=-1)
+    )
+
+    # Azimuth decreasing-with-time for Velodyne (clockwise): ori = -atan2(y, x)
+    # (scanRegistration.cpp:141). Map [-pi, pi) → [0, W).
+    ori = -jnp.arctan2(y, x)
+    col = jnp.floor((ori + jnp.pi) / (2.0 * jnp.pi) * width).astype(jnp.int32)
+    col = jnp.clip(col, 0, width - 1)
+    ring_c = jnp.clip(ring, 0, n_scans - 1)
+
+    flat_idx = jnp.where(ok, ring_c * width + col, n_scans * width)  # pad cell
+
+    # Nearest-return-wins scatter: min range per cell, then match.
+    big = jnp.float32(1e30)
+    rng_flat = jnp.full((n_scans * width + 1,), big, dtype=jnp.float32)
+    rng_flat = rng_flat.at[flat_idx].min(jnp.where(ok, rng_sq, big))
+    winner = ok & (rng_flat[flat_idx] == rng_sq)
+
+    xyz_grid = jnp.zeros((n_scans * width + 1, 3), dtype=points.dtype)
+    xyz_grid = xyz_grid.at[jnp.where(winner, flat_idx, n_scans * width)].set(
+        jnp.where(winner[..., None], points, 0.0)
+    )
+    valid_grid = jnp.zeros((n_scans * width + 1,), dtype=bool)
+    valid_grid = valid_grid.at[jnp.where(winner, flat_idx, n_scans * width)].set(winner)
+
+    xyz_img = xyz_grid[: n_scans * width].reshape(n_scans, width, 3)
+    valid_img = valid_grid[: n_scans * width].reshape(n_scans, width)
+    rel_time = jnp.broadcast_to(
+        (jnp.arange(width, dtype=jnp.float32) + 0.5) / width, (n_scans, width)
+    )
+    return RangeImage(xyz_img, valid_img, rel_time)
+
+
+def compact_rings(ri: RangeImage) -> CompactScan:
+    """Shift valid cells to the front of each ring row, preserving scan order.
+
+    After compaction, index-adjacent entries are consecutive returns, so the
+    curvature stencil over ±5 neighbors reproduces the reference's compacted
+    per-ring cloud semantics (``scanRegistration.cpp:256-266``).
+    """
+    R, W = ri.valid.shape
+    # Stable sort by (not valid): valid points keep order, move to front.
+    order = jnp.argsort(~ri.valid, axis=1, stable=True)
+    xyz = jnp.take_along_axis(ri.xyz, order[..., None], axis=1)
+    rel_time = jnp.take_along_axis(ri.rel_time, order, axis=1)
+    count = jnp.sum(ri.valid, axis=1).astype(jnp.int32)
+    idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    valid = idx < count[:, None]
+    return CompactScan(xyz, valid, rel_time, count)
+
+
+def voxel_downsample(
+    xyz: jax.Array,
+    mask: jax.Array,
+    *,
+    leaf: float,
+    max_out: int,
+    origin: float | None = None,
+) -> PointBatch:
+    """Voxel-grid filter: mean of points per occupied voxel (≡ pcl::VoxelGrid).
+
+    Sort-based segment mean:
+      1. quantize to voxel coords, linearize to a cell id
+      2. sort points by cell id (invalid → +inf id, sorts to back)
+      3. runs of equal id are one voxel → scatter-add into the run-start slot
+      4. compact run starts to the front, divide by counts
+
+    Fixed output budget ``max_out``; if more voxels are occupied the extras are
+    dropped deterministically (sorted cell-id order).
+
+    Cell ids use exact int32 keys (JAX default disables int64): a lexicographic
+    sort over (qx*2048+qy, qz) via two stable argsorts — no hash collisions.
+    Coordinate coverage is ±1024·leaf around ``origin`` (204 m at 0.2 m leaf),
+    clamped beyond that.
+    """
+    if origin is None:
+        origin = -1024.0 * leaf  # center the 2048-cell coverage on the sensor
+    q = jnp.clip(
+        jnp.floor((xyz - origin) / leaf).astype(jnp.int32), 0, 2047
+    )
+    kxy = jnp.where(mask, q[:, 0] * 2048 + q[:, 1], jnp.int32(2**31 - 1))
+    kz = q[:, 2]
+
+    # Stable lexicographic sort: minor key first, then major key.
+    o1 = jnp.argsort(kz, stable=True)
+    o2 = jnp.argsort(kxy[o1], stable=True)
+    order = o1[o2]
+
+    kxy_s = kxy[order]
+    kz_s = kz[order]
+    xyz_s = xyz[order]
+    mask_s = mask[order]
+
+    is_start = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (kxy_s[1:] != kxy_s[:-1]) | (kz_s[1:] != kz_s[:-1]),
+        ]
+    ) & mask_s
+    # run id per point = number of run-starts before it (inclusive) - 1
+    run_id = jnp.cumsum(is_start) - 1
+    run_id = jnp.where(mask_s, run_id, max_out)  # invalid → overflow bucket
+
+    sums = jnp.zeros((max_out + 1, 3), dtype=xyz.dtype)
+    sums = sums.at[jnp.minimum(run_id, max_out)].add(
+        jnp.where(mask_s[:, None], xyz_s, 0.0)
+    )
+    cnts = jnp.zeros((max_out + 1,), dtype=jnp.float32)
+    cnts = cnts.at[jnp.minimum(run_id, max_out)].add(mask_s.astype(jnp.float32))
+
+    out_mask = cnts[:max_out] > 0
+    out_xyz = sums[:max_out] / jnp.maximum(cnts[:max_out, None], 1.0)
+    return PointBatch(out_xyz, out_mask)
+
+
+def pad_points(xyz, n: int, extra=None):
+    """Host helper: pad an (m, 3) array [+ aux arrays] to capacity n with mask."""
+    import numpy as np
+
+    m = xyz.shape[0]
+    assert m <= n, f"cloud of {m} points exceeds capacity {n}"
+    out = np.zeros((n, 3), dtype=np.float32)
+    out[:m] = xyz[:, :3]
+    mask = np.zeros((n,), dtype=bool)
+    mask[:m] = True
+    if extra is not None:
+        eout = np.zeros((n, *extra.shape[1:]), dtype=extra.dtype)
+        eout[:m] = extra
+        return out, mask, eout
+    return out, mask

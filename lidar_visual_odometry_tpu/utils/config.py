@@ -1,0 +1,166 @@
+"""Typed configuration for the TPU lidar-visual odometry engine.
+
+Replaces the reference's three config layers (ROS launch params, OpenCV-YAML
+``Config`` singleton ``src/vloam/Config.cpp:10-203``, gflags) with plain frozen
+dataclasses. Defaults mirror the reference's hard-coded constants (SURVEY.md §5
+"Config / flag system"): scan period 0.1 s (`scanRegistration.cpp:60`),
+DISTANCE_SQ_THRESHOLD 25 / NEARBY_SCAN 2.5 (`laserOdometry.cpp:72-76`),
+curvature gate 0.1 (`scanRegistration.cpp:297,352`), cube size 50 m and grid
+21×21×11 (`laserMapping.cpp:74-82`), 5-keyframe window (`Frontend.cpp:54`).
+
+All sizes that land on device are static (XLA needs fixed shapes); caps are
+padded-with-mask budgets, chosen to cover HDL-64 KITTI scans with headroom.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class LidarConfig:
+    """Sensor + feature-extraction parameters (≡ scanRegistration)."""
+
+    n_scans: int = 64                 # rings: 16 / 32 / 64
+    scan_period: float = 0.1          # s  (scanRegistration.cpp:60)
+    min_range: float = 0.1            # m  MINIMUM_RANGE (scanRegistration.cpp:83)
+    max_range: float = 120.0
+    azimuth_bins: int = 2048          # W of the dense (ring, azimuth) grid; 128-aligned
+    n_sectors: int = 6                # azimuthal sectors per ring (scanRegistration.cpp:283)
+    curvature_edge_min: float = 0.1   # corner gate (scanRegistration.cpp:297)
+    curvature_surf_max: float = 0.1   # flat gate  (scanRegistration.cpp:352)
+    max_sharp_per_sector: int = 2     # (scanRegistration.cpp:302)
+    max_less_sharp_per_sector: int = 20  # (scanRegistration.cpp:307)
+    max_flat_per_sector: int = 4      # (scanRegistration.cpp:361)
+    nms_radius: int = 5               # ±5 neighbor suppression (scanRegistration.cpp:319-342)
+    nms_gap_sq: float = 0.05          # suppression stops at neighbor jumps > 0.05 m²
+    surf_leaf_size: float = 0.2       # less-flat voxel leaf (scanRegistration.cpp:404)
+    max_less_flat: int = 32768        # padded cap for downsampled less-flat cloud
+
+    @property
+    def max_sharp(self) -> int:
+        return self.n_scans * self.n_sectors * self.max_sharp_per_sector
+
+    @property
+    def max_less_sharp(self) -> int:
+        return self.n_scans * self.n_sectors * self.max_less_sharp_per_sector
+
+    @property
+    def max_flat(self) -> int:
+        return self.n_scans * self.n_sectors * self.max_flat_per_sector
+
+
+@dataclass(frozen=True)
+class OdometryConfig:
+    """Scan-to-scan Gauss-Newton (≡ laserOdometry)."""
+
+    dist_sq_threshold: float = 25.0   # correspondence gate (laserOdometry.cpp:72)
+    nearby_scan: float = 2.5          # ring window (laserOdometry.cpp:76)
+    outer_iters: int = 2              # re-association rounds (upstream A-LOAM uses 2;
+                                      # the reference raised it to 10, laserOdometry.cpp:364)
+    gn_iters: int = 4                 # inner GN iterations (Ceres max_num_iterations=4)
+    huber_delta: float = 0.1          # HuberLoss(0.1) (laserOdometry.cpp:369)
+    deskew: bool = False              # DISTORTION 0 (laserOdometry.cpp:66)
+    skip_frame_num: int = 1           # feature republish cadence (launch file: 1)
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Scan-to-map refinement (≡ laserMapping)."""
+
+    cube_size: float = 50.0           # m per voxel cube (laserMapping.cpp:312-314)
+    grid_w: int = 21                  # cubes along x (laserMapping.cpp:77)
+    grid_h: int = 21                  # cubes along y
+    grid_d: int = 11                  # cubes along z
+    corner_leaf: float = 0.4          # lineRes default (laserMapping.cpp:899)
+    surf_leaf: float = 0.8            # planeRes default (laserMapping.cpp:900)
+    outer_iters: int = 2              # reference uses 10 (laserMapping.cpp:562)
+    gn_iters: int = 4                 # Ceres max_num_iterations=4 (laserMapping.cpp:715)
+    huber_delta: float = 0.1          # (laserMapping.cpp:564)
+    knn: int = 5                      # 5-NN line/plane fits (laserMapping.cpp:582,648)
+    line_eig_ratio: float = 3.0       # accept line if l2 > 3*l1 (laserMapping.cpp:607)
+    plane_fit_tol: float = 0.2        # planarity gate (laserMapping.cpp:673)
+    corner_nn_max_dist: float = 1.0   # 5th NN must be < 1 m (laserMapping.cpp:586)
+    max_corner_map_local: int = 16384  # padded local submap caps (5x5x3 neighborhood)
+    max_surf_map_local: int = 32768
+    cube_capacity: int = 4096         # max points stored per 50 m cube, per class
+    submap_radius: tuple = (2, 2, 1)  # 5x5x3 neighborhood (laserMapping.cpp:515-519)
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics (≡ Config::camera, PinholeModel)."""
+
+    width: int = 1280                 # padded KITTI gray width (native 1241)
+    height: int = 384                 # padded KITTI gray height (native 376)
+    fx: float = 718.856               # KITTI odometry 00-02 calibration
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    # radial-tangential distortion (KITTI odometry grayscale is rectified: zeros)
+    d0: float = 0.0
+    d1: float = 0.0
+    d2: float = 0.0
+    d3: float = 0.0
+    d4: float = 0.0
+
+
+@dataclass(frozen=True)
+class VisualConfig:
+    """Visual frontend (≡ featureTracking + Frontend)."""
+
+    pyramid_levels: int = 4           # tracker levels (params/KITTI00.yaml pyramid)
+    grid_cols: int = 28               # feature subregions (featureTracking.cpp grid)
+    grid_rows: int = 6
+    max_features_per_cell: int = 5
+    lk_window: int = 25               # LK window size (featureTracking.cpp:203)
+    lk_levels: int = 4
+    lk_iters: int = 10
+    reverse_check_px: float = 1.0     # fwd/bwd consistency gate (featureTracking.cpp:214-237)
+    fast_threshold: float = 30.0
+    depth_knn: int = 3                # depth association KNN (Frontend.cpp:241)
+    gn_iters: int = 50                # visual GN cap (reference: 150, Frontend.cpp:401)
+    gn_tol: float = 1e-5              # convergence |dx| (Frontend.cpp:443-447)
+    huber_reproj: float = 1.5 / 760.0  # Huber on normalized-plane residual (Frontend.cpp:652)
+    max_tracked: int = 1024           # padded tracked-feature budget (28*6*5 = 840)
+    depth_cloud_cap: int = 32768      # padded camera-frame lidar cloud
+    keyframe_window: int = 5          # KeyframeWindow size (Frontend.cpp:54)
+    patch_pattern: str = "quad"       # 4-px pattern {(1,-1),(1,1),(-1,-1),(-1,1)} (Tracker2.h:41-44)
+    tdist_dof: float = 5.0            # t-distribution nu (WeightFunction.cpp:91-95)
+
+
+@dataclass(frozen=True)
+class ExtrinsicConfig:
+    """Camera←lidar rigid transform (≡ Config camlidar 3×4, KITTI Tr)."""
+
+    # KITTI odometry seq 00 velodyne→cam0 (Tr from calib.txt)
+    matrix: tuple = (
+        (4.276802385584e-04, -9.999672484946e-01, -8.084491683471e-03, -1.198459927713e-02),
+        (-7.210626507497e-03, 8.081198471645e-03, -9.999413164504e-01, -5.403984729748e-02),
+        (9.999738645903e-01, 4.859485810390e-04, -7.206933692422e-03, -2.921968648686e-01),
+    )
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    lidar: LidarConfig = LidarConfig()
+    odometry: OdometryConfig = OdometryConfig()
+    mapping: MappingConfig = MappingConfig()
+    camera: CameraConfig = CameraConfig()
+    visual: VisualConfig = VisualConfig()
+    extrinsic: ExtrinsicConfig = ExtrinsicConfig()
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def kitti_config(sequence: int = 0, n_scans: int = 64) -> SystemConfig:
+    """Per-sequence config (≡ params/KITTI00.yaml … KITTI10.yaml)."""
+    if sequence <= 2:
+        cam = CameraConfig()
+    elif sequence == 3:
+        cam = CameraConfig(fx=721.5377, fy=721.5377, cx=609.5593, cy=172.854)
+    else:
+        cam = CameraConfig(fx=707.0912, fy=707.0912, cx=601.8873, cy=183.1104)
+    return SystemConfig(lidar=LidarConfig(n_scans=n_scans), camera=cam)
