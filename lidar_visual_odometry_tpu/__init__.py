@@ -18,3 +18,21 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: compiles of the jitted pipeline stages are
+# expensive (tens of seconds via this environment's remote-compile tunnel);
+# cache them across processes. Opt out with LVO_TPU_NO_CACHE=1.
+if not _os.environ.get("LVO_TPU_NO_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

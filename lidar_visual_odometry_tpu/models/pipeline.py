@@ -1,0 +1,108 @@
+"""Host-side odometry pipeline driver.
+
+Replaces the reference's ROS process fabric (scanRegistration node →
+laserOdometry node topics, SURVEY.md §2.4) with a plain Python loop over two
+jitted device programs. Stages run back-to-back on one chip; the host only
+pads the raw scan and collects pose outputs (device→host transfer is 7 floats
+per frame).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..models import lidar_odometry as lo
+from ..models import scan_registration as sr
+from ..ops import pointcloud as pc
+from ..ops import se3
+from ..utils.config import SystemConfig
+
+
+@dataclass
+class TrajectoryResult:
+    positions: np.ndarray      # (N, 3)
+    quaternions: np.ndarray    # (N, 4) wxyz
+    per_frame_s: list = field(default_factory=list)
+
+
+class OdometryPipeline:
+    """scan → features → scan-to-scan pose, frame by frame."""
+
+    def __init__(self, cfg: SystemConfig = SystemConfig(), capacity: int = 131072):
+        self.cfg = cfg
+        self.capacity = capacity
+        self.odom = lo.LidarOdometry(cfg.odometry)
+
+    def process_scan(self, points: np.ndarray) -> se3.Pose:
+        """Feed one raw (N, ≥3) scan; returns the current world pose."""
+        xyz, mask = pc.pad_points(points[:, :3], self.capacity)
+        reg = sr.register_scan(jnp.asarray(xyz), jnp.asarray(mask), self.cfg.lidar)
+        pose_w, _ = self.odom.process(reg.features)
+        return pose_w
+
+    def run(self, scans, progress: bool = False) -> TrajectoryResult:
+        """Run the whole sequence with fully asynchronous dispatch.
+
+        No per-frame host sync: each frame's pose stays on device and the host
+        immediately dispatches the next frame (host↔device round-trip latency
+        is ~30 ms in the tunneled-TPU environment — blocking per frame would
+        dominate the budget). One block at the end drains the pipeline.
+        """
+        import time
+
+        import jax
+
+        t0 = time.time()
+        poses = [self.process_scan(np.asarray(pts)) for pts in scans]
+        jax.block_until_ready(poses[-1])
+        wall = time.time() - t0
+
+        qs = np.stack([np.asarray(p.q) for p in poses])
+        ts = np.stack([np.asarray(p.t) for p in poses])
+        if progress:
+            print(f"{len(scans)} frames in {wall:.2f}s → {len(scans)/wall:.1f} fps")
+        return TrajectoryResult(ts, qs, per_frame_s=[wall / len(scans)] * len(scans))
+
+    def run_chunked(self, scans, chunk: int = 8, progress: bool = False) -> TrajectoryResult:
+        """Batch-process the sequence in K-frame device programs
+        (lidar_odometry.odometry_chunk): one dispatch per chunk instead of
+        2-3 per frame — the fast path when scans are available in advance
+        (dataset eval / benchmark) or arrive in bursts."""
+        import time
+
+        import jax
+
+        from ..models import lidar_odometry as lo
+
+        # frame 0 initializes the feature state
+        xyz0, mask0 = pc.pad_points(np.asarray(scans[0])[:, :3], self.capacity)
+        reg0 = sr.register_scan(jnp.asarray(xyz0), jnp.asarray(mask0), self.cfg.lidar)
+        state = lo.init_state(reg0.features)
+
+        t0 = time.time()
+        chunks_q, chunks_t = [], []
+        for s in range(1, len(scans), chunk):
+            batch = scans[s:s + chunk]
+            stacked = np.zeros((len(batch), self.capacity, 3), np.float32)
+            masks = np.zeros((len(batch), self.capacity), bool)
+            for i, pts in enumerate(batch):
+                stacked[i], masks[i] = pc.pad_points(np.asarray(pts)[:, :3], self.capacity)
+            state, poses = lo.odometry_chunk(
+                state, jnp.asarray(stacked), jnp.asarray(masks),
+                self.cfg.lidar, self.cfg.odometry,
+            )
+            chunks_q.append(poses.q)
+            chunks_t.append(poses.t)
+        jax.block_until_ready(chunks_t[-1])
+        wall = time.time() - t0
+
+        n = len(scans)
+        qs = np.concatenate([[np.array([1.0, 0, 0, 0], np.float32)]] + [np.asarray(q) for q in chunks_q])
+        ts = np.concatenate([[np.zeros(3, np.float32)]] + [np.asarray(t) for t in chunks_t])
+        if progress:
+            print(f"{n} frames in {wall:.2f}s → {(n - 1)/wall:.1f} fps")
+        return TrajectoryResult(ts, qs, per_frame_s=[wall / (n - 1)] * n)

@@ -23,8 +23,7 @@ class RegisteredScan(NamedTuple):
     full: pc.CompactScan  # ≡ /velodyne_cloud_2
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def register_scan(
+def register_scan_impl(
     points: jax.Array, mask: jax.Array, cfg: LidarConfig
 ) -> RegisteredScan:
     ri = pc.build_range_image(
@@ -48,3 +47,6 @@ def register_scan(
         max_less_flat_per_ring=cfg.max_less_flat // cfg.n_scans,
     )
     return RegisteredScan(feats, cs)
+
+
+register_scan = jax.jit(register_scan_impl, static_argnames=("cfg",))

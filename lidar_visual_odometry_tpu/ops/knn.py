@@ -136,6 +136,141 @@ def associate_planes(
     return PlaneAssoc(j0, j2, j3, valid)
 
 
+def ring_top2(
+    q_xyz: jax.Array, c_blocks: jax.Array, m_blocks: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-(query, ring) two nearest candidates, streaming over ring blocks.
+
+    ``c_blocks`` (R, B, 3) is the candidate cloud in its natural ring-major
+    block layout (feature extraction emits fixed-size per-ring blocks), so
+    "ring" is just the leading block index. The (Q, R, B) distance tensor is
+    immediately reduced to per-ring top-2 — one write + one read of the tensor
+    instead of the ~6 full-matrix passes of the masked-argmin formulation
+    (ring-difference masks, three argmins, gathers).
+
+    Returns (dist (Q, R, 2), idx (Q, R, 2)); idx is flat into (R·B).
+    """
+    R, B, _ = c_blocks.shape
+    qq = jnp.sum(q_xyz * q_xyz, axis=-1)[:, None, None]          # (Q, 1, 1)
+    cc = jnp.sum(c_blocks * c_blocks, axis=-1)[None]             # (1, R, B)
+    qc = jax.lax.dot_general(
+        q_xyz, c_blocks,
+        dimension_numbers=(((1,), (2,)), ((), ())),              # (Q, R, B)
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = jnp.maximum(qq + cc - 2.0 * qc, 0.0)
+    d = jnp.where(m_blocks[None], d, _BIG)
+    # top-2 as two argmin reductions — lax.top_k lowers to a full sort on TPU
+    # (measured 2.7× slower end-to-end); argmin is a plain fast reduce.
+    i1 = jnp.argmin(d, axis=-1)                                  # (Q, R)
+    d1 = jnp.take_along_axis(d, i1[..., None], axis=-1)[..., 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 2)
+    d_rest = jnp.where(col == i1[..., None], _BIG, d)
+    i2 = jnp.argmin(d_rest, axis=-1)
+    d2 = jnp.take_along_axis(d_rest, i2[..., None], axis=-1)[..., 0]
+    base = (jnp.arange(R, dtype=jnp.int32) * B)[None, :, None]
+    dist = jnp.stack([d1, d2], axis=-1)                          # (Q, R, 2)
+    idx = jnp.stack([i1, i2], axis=-1) + base
+    return dist, idx
+
+
+def ring_top2_best(
+    q_xyz: jax.Array, c_blocks: jax.Array, m_blocks: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Dispatch ring_top2 to the Pallas TPU kernel (ops/pallas_nn.py,
+    ~200× faster than the XLA formulation) or fall back to XLA off-TPU.
+
+    Handles lane-padding of B to a multiple of 128 for the kernel; padded
+    entries sit at BAKE_FAR so they only surface for fully-masked rings, where
+    the distance gate rejects them anyway.
+    """
+    if jax.default_backend() != "tpu":
+        return ring_top2(q_xyz, c_blocks, m_blocks)
+
+    from . import pallas_nn
+
+    R, B, _ = c_blocks.shape
+    baked = pallas_nn.bake_mask(c_blocks, m_blocks)
+    B_pad = -(-B // 128) * 128
+    if B_pad != B:
+        baked = jnp.pad(
+            baked, ((0, 0), (0, B_pad - B), (0, 0)),
+            constant_values=pallas_nn.BAKE_FAR,
+        )
+    dist, idx = pallas_nn.ring_top2_pallas(q_xyz, baked)
+    if B_pad != B:
+        ring = idx // B_pad
+        col = jnp.minimum(idx % B_pad, B - 1)
+        idx = ring * B + col
+    return dist, idx
+
+
+def associate_edges_ringblocked(
+    q_xyz: jax.Array,
+    q_mask: jax.Array,
+    c_blocks: jax.Array,
+    m_blocks: jax.Array,
+    *,
+    dist_sq_threshold: float = 25.0,
+    nearby_scan: float = 2.5,
+) -> EdgeAssoc:
+    """Corner association over ring-major candidate blocks (same semantics as
+    ``associate_edges``, ~B× less memory traffic)."""
+    dist, idx = ring_top2_best(q_xyz, c_blocks, m_blocks)  # (Q, R, 2)
+    d1 = dist[:, :, 0]                                    # best per ring
+    r0 = jnp.argmin(d1, axis=1)                           # (Q,)
+    d0 = jnp.take_along_axis(d1, r0[:, None], axis=1)[:, 0]
+    j0 = jnp.take_along_axis(idx[:, :, 0], r0[:, None], axis=1)[:, 0]
+
+    R = c_blocks.shape[0]
+    rings = jnp.arange(R, dtype=jnp.float32)[None, :]
+    rd = jnp.abs(rings - r0[:, None].astype(jnp.float32))
+    m2 = (rd > 0.0) & (rd <= nearby_scan)
+    d1m = jnp.where(m2, d1, _BIG)
+    r2 = jnp.argmin(d1m, axis=1)
+    d2 = jnp.take_along_axis(d1m, r2[:, None], axis=1)[:, 0]
+    j2 = jnp.take_along_axis(idx[:, :, 0], r2[:, None], axis=1)[:, 0]
+    valid = q_mask & (d0 < dist_sq_threshold) & (d2 < dist_sq_threshold)
+    return EdgeAssoc(j0, j2, valid)
+
+
+def associate_planes_ringblocked(
+    q_xyz: jax.Array,
+    q_mask: jax.Array,
+    c_blocks: jax.Array,
+    m_blocks: jax.Array,
+    *,
+    dist_sq_threshold: float = 25.0,
+    nearby_scan: float = 2.5,
+) -> PlaneAssoc:
+    """Surf association over ring-major blocks: j0 = global NN, j2 = ring-r0
+    runner-up, j3 = best on a different ring within ±2.5."""
+    dist, idx = ring_top2_best(q_xyz, c_blocks, m_blocks)
+    d1 = dist[:, :, 0]
+    r0 = jnp.argmin(d1, axis=1)
+    d0 = jnp.take_along_axis(d1, r0[:, None], axis=1)[:, 0]
+    j0 = jnp.take_along_axis(idx[:, :, 0], r0[:, None], axis=1)[:, 0]
+    # same-ring second-nearest
+    d2 = jnp.take_along_axis(dist[:, :, 1], r0[:, None], axis=1)[:, 0]
+    j2 = jnp.take_along_axis(idx[:, :, 1], r0[:, None], axis=1)[:, 0]
+
+    R = c_blocks.shape[0]
+    rings = jnp.arange(R, dtype=jnp.float32)[None, :]
+    rd = jnp.abs(rings - r0[:, None].astype(jnp.float32))
+    m3 = (rd > 0.0) & (rd <= nearby_scan)
+    d1m = jnp.where(m3, d1, _BIG)
+    r3 = jnp.argmin(d1m, axis=1)
+    d3 = jnp.take_along_axis(d1m, r3[:, None], axis=1)[:, 0]
+    j3 = jnp.take_along_axis(idx[:, :, 0], r3[:, None], axis=1)[:, 0]
+    valid = (
+        q_mask
+        & (d0 < dist_sq_threshold)
+        & (d2 < dist_sq_threshold)
+        & (d3 < dist_sq_threshold)
+    )
+    return PlaneAssoc(j0, j2, j3, valid)
+
+
 def knn(
     q_xyz: jax.Array,
     c_xyz: jax.Array,

@@ -101,7 +101,7 @@ def plane_residuals(
     n = jnp.cross(c.j - c.l, c.j - c.m)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
     y = _transform_deskewed(pose, c.p, c.s)
-    r = jnp.sum((y - c.j) * n, axis=-1)
+    r = jnp.sum((y - c.j) * n, axis=-1, keepdims=True)   # (N, 1)
 
     Rp = y - c.s[..., None] * pose.t
     # ∂r/∂ξ = nᵀ [ I | −[Rp]× ] · s
@@ -116,7 +116,7 @@ def norm_plane_residuals(
 ) -> tuple[jax.Array, jax.Array]:
     """Fitted-plane residual r = n·(R p + t) + d (mapping solver form)."""
     y = se3.se3_apply(pose, c.p)
-    r = jnp.sum(y * c.n, axis=-1) + c.d
+    r = jnp.sum(y * c.n, axis=-1, keepdims=True) + c.d[..., None]  # (N, 1)
     Rp = y - pose.t
     J = jnp.concatenate([c.n, jnp.cross(Rp, c.n)], axis=-1)
     return r, J[..., None, :]

@@ -57,12 +57,15 @@ class OdometryConfig:
 
     dist_sq_threshold: float = 25.0   # correspondence gate (laserOdometry.cpp:72)
     nearby_scan: float = 2.5          # ring window (laserOdometry.cpp:76)
-    outer_iters: int = 2              # re-association rounds (upstream A-LOAM uses 2;
-                                      # the reference raised it to 10, laserOdometry.cpp:364)
+    outer_iters: int = 10             # re-association rounds (laserOdometry.cpp:364;
+                                      # the reference raised upstream's 2 to 10 — needed
+                                      # for cold starts; warm-started frames converge in 2)
     gn_iters: int = 4                 # inner GN iterations (Ceres max_num_iterations=4)
     huber_delta: float = 0.1          # HuberLoss(0.1) (laserOdometry.cpp:369)
     deskew: bool = False              # DISTORTION 0 (laserOdometry.cpp:66)
     skip_frame_num: int = 1           # feature republish cadence (launch file: 1)
+    n_rings: int = 64                 # candidate clouds are ring-major blocks of
+                                      # capacity/n_rings (association streams per ring)
 
 
 @dataclass(frozen=True)
