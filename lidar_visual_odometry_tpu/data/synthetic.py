@@ -124,6 +124,73 @@ def render_scan(
     return pts_s.astype(np.float32)
 
 
+def render_image(
+    scene: BoxScene,
+    R_wc: np.ndarray,
+    t_wc: np.ndarray,
+    *,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    width: int,
+    height: int,
+    max_range: float = 120.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render a textured grayscale view + depth map from a camera pose.
+
+    Camera convention: z forward, x right, y down (standard pinhole). The
+    texture is procedural (world-position sinusoids + height shading), so
+    images of the same scene are exactly photo-consistent across views —
+    ideal ground truth for KLT / photometric-tracking tests.
+
+    Returns (image (H, W) float32 in [0,1], depth (H, W) float32, inf = miss).
+    """
+    ys, xs = np.mgrid[0:height, 0:width]
+    dirs_c = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, dtype=np.float64)],
+        axis=-1,
+    ).reshape(-1, 3)
+    dirs_c /= np.linalg.norm(dirs_c, axis=-1, keepdims=True)
+    dirs_w = dirs_c @ R_wc.T
+
+    t_box = _ray_aabb(t_wc, dirs_w, scene.boxes)
+    dz = dirs_w[:, 2]
+    down = dz < -1e-9
+    t_gnd = np.where(down, (scene.ground_z - t_wc[2]) / np.where(down, dz, -1.0), np.inf)
+    t = np.minimum(t_box, t_gnd)
+    hit = np.isfinite(t) & (t < max_range)
+
+    pts = t_wc + dirs_w * np.where(hit, t, 1.0)[:, None]
+    # procedural world-anchored texture
+    tex = (
+        0.5
+        + 0.2 * np.sin(2.1 * pts[:, 0]) * np.cos(1.7 * pts[:, 1])
+        + 0.15 * np.sin(3.3 * pts[:, 2] + 0.8 * pts[:, 0])
+        + 0.1 * np.sin(9.0 * pts[:, 0] + 7.0 * pts[:, 1])
+    )
+    shade = 1.0 / (1.0 + 0.01 * np.where(hit, t, max_range))
+    img = np.where(hit, np.clip(tex, 0.05, 0.95) * shade, 0.02)
+    depth_ray = np.where(hit, t, np.inf)
+    # depth map stores z-depth (camera frame), the pinhole convention
+    z_cam = (pts - t_wc) @ R_wc  # camera-frame points
+    depth = np.where(hit, z_cam[:, 2], np.inf)
+    return (
+        img.reshape(height, width).astype(np.float32),
+        depth.reshape(height, width).astype(np.float32),
+    )
+
+
+def camera_from_velodyne_pose(R_ws: np.ndarray, t_ws: np.ndarray):
+    """Camera pose for a forward-looking camera rigidly on the sensor:
+    cam z = velo x (forward), cam x = −velo y (right), cam y = −velo z (down)."""
+    # columns: cam x=(0,−1,0), cam y=(0,0,−1), cam z=(1,0,0) in the velo frame
+    R_sc = np.array(
+        [[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]]
+    )
+    return R_ws @ R_sc, t_ws
+
+
 def yaw_matrix(yaw: float) -> np.ndarray:
     c, s = np.cos(yaw), np.sin(yaw)
     return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])

@@ -106,3 +106,63 @@ class OdometryPipeline:
         if progress:
             print(f"{n} frames in {wall:.2f}s → {(n - 1)/wall:.1f} fps")
         return TrajectoryResult(ts, qs, per_frame_s=[wall / (n - 1)] * n)
+
+
+class FullPipeline:
+    """Odometry + scan-to-map refinement (≡ scanRegistration → laserOdometry
+    → laserMapping chain).
+
+    Mapping consumes the odometry stream at its own cadence
+    (``mapping_skip_frame``), exactly like the reference's decoupled mapping
+    thread (laserMapping.cpp:934): the odometry fast path stays fully
+    asynchronous; the mapping stage syncs with the host for cube bookkeeping.
+    """
+
+    def __init__(self, cfg: SystemConfig = SystemConfig(), capacity: int = 131072):
+        from ..models import lidar_mapping as lm
+
+        self.cfg = cfg
+        self.capacity = capacity
+        self.odom = lo.LidarOdometry(cfg.odometry)
+        self.mapper = lm.LidarMapping(cfg.mapping)
+
+    def run(self, scans, progress: bool = False):
+        """Returns (odometry TrajectoryResult, mapped TrajectoryResult)."""
+        import time
+
+        import jax
+
+        t0 = time.time()
+        feats_stream = []
+        odom_poses = []
+        for pts in scans:
+            xyz, mask = pc.pad_points(np.asarray(pts)[:, :3], self.capacity)
+            reg = sr.register_scan(
+                jnp.asarray(xyz), jnp.asarray(mask), self.cfg.lidar
+            )
+            pose_w, _ = self.odom.process(reg.features)
+            feats_stream.append(reg.features)
+            odom_poses.append(pose_w)
+
+        mapped_poses = []
+        skip = self.cfg.odometry.skip_frame_num
+        last = None
+        for k, (feats, pose) in enumerate(zip(feats_stream, odom_poses)):
+            if k % skip == 0:
+                last = self.mapper.process(feats, pose)
+            else:
+                last = se3.se3_compose(self.mapper.correction, pose)
+            mapped_poses.append(last)
+        jax.block_until_ready(mapped_poses[-1])
+        wall = time.time() - t0
+
+        def to_result(poses):
+            return TrajectoryResult(
+                np.stack([np.asarray(p.t) for p in poses]),
+                np.stack([np.asarray(p.q) for p in poses]),
+                per_frame_s=[wall / len(scans)] * len(scans),
+            )
+
+        if progress:
+            print(f"odom+map: {len(scans)} frames in {wall:.2f}s")
+        return to_result(odom_poses), to_result(mapped_poses)

@@ -1,0 +1,189 @@
+"""Sliding-window photometric bundle adjustment (≡ WindowOptimizer).
+
+Multi-view photometric BA over the N-keyframe window
+(``src/vloam/WindowOptimizer.cpp:20-603``): all ordered (host, target) pairs
+h≠t (``:496-520``) contribute 4-pixel-patch photometric residuals of the host
+keyframe's points projected into the target frame. Jacobians w.r.t. BOTH
+world poses use the left-perturbation identity the reference derives
+(``compute_residuals`` ``:352-486``): with ``p_w`` the world point and ``R_t``
+the target rotation,
+
+    J_host  = ∇I · ∂π/∂p_t · R_tᵀ · [ I | −[p_w]× ]
+    J_target = −J_host                                  (``:444-449``)
+
+so each pair's contribution to the (6N × 6N) Hessian is the rank-structured
+block pattern  [[A, −A], [−A, A]]  scattered at (h, t) — assembled here with
+one vmap over the static pair list + index_add (``:563-600``). Weights are
+globally MAD-normalized Student-t (``build_LinearSystem`` ``:522-560``); the
+TBB parallel_for over points (``:401-437``) is just the vmap batch dimension
+on TPU. Gauge freedom is fixed by a large diagonal prior on pose 0
+(``solve`` ``:180-181``), and the refine loop keeps the best (lowest-χ²)
+iterate, matching the reference's revert-on-increase behavior
+(``refine`` ``:68-148``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import camera as cam_ops
+from ..ops import gn, image, se3
+from .tracker_direct import PATCH, _level_cam
+
+GAUGE_PRIOR = 1e8
+
+
+def _pair_residuals(
+    pyr_imgs: jax.Array,      # (K, H, W) one level
+    points: jax.Array,        # (K, P, 3)
+    point_mask: jax.Array,    # (K, P)
+    poses: se3.Pose,          # (K,)
+    h: jax.Array,
+    t: jax.Array,
+    cam_l,
+):
+    """Residuals + host-side Jacobian for one (host, target) pair."""
+    pts_h = points[h]
+    mask = point_mask[h]
+    pose_h = se3.Pose(poses.q[h], poses.t[h])
+    pose_t = se3.Pose(poses.q[t], poses.t[t])
+
+    p_w = se3.se3_apply(pose_h, pts_h)
+    T_tw = se3.se3_inverse(pose_t)
+    p_t = se3.se3_apply(T_tw, p_w)
+
+    uv_h, front_h = cam_ops.project(cam_l, pts_h)
+    uv_t, front_t = cam_ops.project(cam_l, p_t)
+
+    img_h = pyr_imgs[h]
+    img_t = pyr_imgs[t]
+    i_ref = image.bilinear(img_h, uv_h[:, None, :] + PATCH[None])
+    i_cur = image.bilinear(img_t, uv_t[:, None, :] + PATCH[None])
+    r = i_cur - i_ref                                          # (P, 4)
+
+    gx, gy = image.gradients(img_t)
+    gxs = image.bilinear(gx, uv_t[:, None, :] + PATCH[None])
+    gys = image.bilinear(gy, uv_t[:, None, :] + PATCH[None])
+
+    z = jnp.maximum(p_t[..., 2], 1e-3)
+    inv_z = 1.0 / z
+    du = jnp.stack(
+        [cam_l.fx * inv_z, jnp.zeros_like(z), -cam_l.fx * p_t[..., 0] * inv_z**2],
+        axis=-1,
+    )
+    dv = jnp.stack(
+        [jnp.zeros_like(z), cam_l.fy * inv_z, -cam_l.fy * p_t[..., 1] * inv_z**2],
+        axis=-1,
+    )
+    # ∂p_t/∂δ_host = R_tᵀ [I | −[p_w]×]
+    Rt = se3.quat_to_matrix(T_tw.q)
+    dp_w = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.eye(3, dtype=z.dtype), (*z.shape, 3, 3)),
+            -se3.so3_hat(p_w),
+        ],
+        axis=-1,
+    )                                                          # (P, 3, 6)
+    dpt = jnp.einsum("ij,njk->nik", Rt, dp_w)                  # (P, 3, 6)
+    du_dxi = jnp.einsum("ni,nij->nj", du, dpt)
+    dv_dxi = jnp.einsum("ni,nij->nj", dv, dpt)
+    J = gxs[..., None] * du_dxi[:, None, :] + gys[..., None] * dv_dxi[:, None, :]
+
+    ok = (
+        mask
+        & front_h & front_t
+        & cam_ops.is_in_image(cam_l, uv_h, boundary=2.0)
+        & cam_ops.is_in_image(cam_l, uv_t, boundary=2.0)
+        & (p_t[..., 2] > 0.1)
+    )
+    return r, J, ok
+
+
+@partial(jax.jit, static_argnames=("n_iters", "level", "tdist_dof"))
+def refine(
+    pyramids: tuple,           # tuple over levels of (K, H, W)
+    points: jax.Array,         # (K, P, 3)
+    point_mask: jax.Array,     # (K, P)
+    poses: se3.Pose,           # (K,) world poses
+    cam,
+    *,
+    n_iters: int = 5,
+    level: int = 1,
+    tdist_dof: float = 5.0,
+) -> se3.Pose:
+    """Jointly refine all K world poses; returns the lowest-χ² iterate."""
+    K = points.shape[0]
+    imgs = pyramids[level]
+    cam_l = _level_cam(cam, level)
+
+    hs, ts = jnp.nonzero(
+        ~jnp.eye(K, dtype=bool), size=K * (K - 1)
+    )  # static pair list
+
+    def system(poses):
+        r, J, ok = jax.vmap(
+            lambda h, t: _pair_residuals(
+                imgs, points, point_mask, poses, h, t, cam_l
+            )
+        )(hs, ts)                                              # (Pairs, P, 4[,6])
+        w_ok = ok[..., None].astype(r.dtype)
+        # global MAD-normalized t-dist weights (WindowOptimizer.cpp:522-560)
+        absr = jnp.abs(jnp.where(ok[..., None], r, jnp.nan))
+        sigma = jnp.maximum(1.4826 * jnp.nanmedian(absr), 1e-4)
+        w = gn.tdist_weight(r, sigma, tdist_dof) * w_ok
+
+        A = jnp.einsum(
+            "pnd,pndi,pndj->pij", w, J, J,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                      # (Pairs, 6, 6)
+        v = jnp.einsum(
+            "pnd,pndi,pnd->pi", w, J, r,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # block pattern [[A, −A], [−A, A]] at (h, t)
+        H = jnp.zeros((K, K, 6, 6), A.dtype)
+        H = H.at[hs, hs].add(A).at[ts, ts].add(A)
+        H = H.at[hs, ts].add(-A).at[ts, hs].add(-A)
+        g = jnp.zeros((K, 6), v.dtype)
+        g = g.at[hs].add(v).at[ts].add(-v)
+        chi2 = jnp.sum(w * r * r)
+        return H, g, chi2
+
+    def step(carry, _):
+        poses, best_poses, best_chi2 = carry
+        H, g, chi2 = system(poses)
+
+        better = chi2 < best_chi2
+        best_poses = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), poses, best_poses
+        )
+        best_chi2 = jnp.minimum(chi2, best_chi2)
+
+        Hf = H.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+        gf = g.reshape(6 * K)
+        # gauge prior on pose 0 (solve, WindowOptimizer.cpp:180-181)
+        gauge = jnp.zeros((6 * K,)).at[:6].set(GAUGE_PRIOR)
+        Hf = Hf + jnp.diag(gauge)
+        delta = gn.solve_damped(Hf, gf, lm_lambda=1e-4).reshape(K, 6)
+
+        new_poses = se3.Pose(
+            se3.quat_normalize(
+                se3.quat_mul(se3.so3_exp(delta[:, 3:]), poses.q)
+            ),
+            poses.t + delta[:, :3],
+        )
+        return (new_poses, best_poses, best_chi2), chi2
+
+    init = (poses, poses, jnp.float32(jnp.inf))
+    (poses_final, best_poses, best_chi2), _ = jax.lax.scan(
+        step, init, None, length=n_iters
+    )
+    # final candidate may be the best
+    _, _, chi2_final = system(poses_final)
+    better = chi2_final < best_chi2
+    return jax.tree.map(
+        lambda new, old: jnp.where(better, new, old), poses_final, best_poses
+    )

@@ -1,0 +1,157 @@
+"""Image ops: pyramids, gradients, bilinear sampling, corner scores.
+
+TPU-native replacements for the OpenCV calls in the visual frontend:
+
+* ``pyr_down`` ≡ the reference's custom 2×2-mean ``pyrDownMeanSmooth``
+  (``src/vloam/Frame.cpp:407-444``),
+* ``gradients`` ≡ the ±1 central differences used by the photometric tracker
+  (``Tracker2.cpp:151-160``),
+* ``bilinear`` ≡ per-patch interpolation (``Tracker2.cpp:124-150``) as a
+  batched gather — the core primitive for LK and direct tracking,
+* ``shi_tomasi_score`` ≡ the Harris/FAST detection stack of featureTracking
+  (``featureTracking.cpp:101,145-160``): one dense min-eigenvalue score map
+  replaces per-subregion FAST calls (a dense map + per-cell top-k is the
+  batched reformulation of "detect in deficient subregions"),
+* ``normalize_contrast`` stands in for CLAHE (``featureTracking.cpp:93``):
+  global mean/std normalization — adequate for tracking scores; full CLAHE is
+  gridded-histogram work the scores don't need.
+
+Images are (H, W) float32 in [0, 1], y-down pixel coords, `uv = (x, y)`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pyr_down(img: jax.Array) -> jax.Array:
+    """2×2 mean downsample (pyrDownMeanSmooth)."""
+    H, W = img.shape[-2:]
+    x = img[..., : H - H % 2, : W - W % 2]
+    x = x.reshape(*x.shape[:-2], H // 2, 2, W // 2, 2)
+    return x.mean(axis=(-3, -1))
+
+
+def build_pyramid(img: jax.Array, levels: int) -> list[jax.Array]:
+    """[level0 (full res), level1 (half), ...] (Frame.cpp:252-286)."""
+    out = [img]
+    for _ in range(levels - 1):
+        out.append(pyr_down(out[-1]))
+    return out
+
+
+def gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Central-difference gradients (dx, dy), same shape, zero at borders."""
+    gx = jnp.zeros_like(img)
+    gx = gx.at[..., :, 1:-1].set(0.5 * (img[..., :, 2:] - img[..., :, :-2]))
+    gy = jnp.zeros_like(img)
+    gy = gy.at[..., 1:-1, :].set(0.5 * (img[..., 2:, :] - img[..., :-2, :]))
+    return gx, gy
+
+
+def bilinear(img: jax.Array, uv: jax.Array) -> jax.Array:
+    """Sample (H, W) image at float coords uv (..., 2) = (x, y).
+
+    Out-of-bounds clamps to the border (callers gate with in-image masks).
+    """
+    H, W = img.shape
+    x = jnp.clip(uv[..., 0], 0.0, W - 1.001)
+    y = jnp.clip(uv[..., 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = x - x0
+    wy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
+def shi_tomasi_score(img: jax.Array, window: int = 3) -> jax.Array:
+    """Min-eigenvalue corner score map (what cv::goodFeaturesToTrack ranks;
+    monotone-equivalent to FAST response for selection purposes)."""
+    gx, gy = gradients(img)
+    xx = gx * gx
+    yy = gy * gy
+    xy = gx * gy
+
+    k = jnp.ones((window, window), img.dtype) / (window * window)
+
+    def box(a):
+        return jax.scipy.signal.convolve2d(a, k, mode="same")
+
+    sxx, syy, sxy = box(xx), box(yy), box(xy)
+    tr = sxx + syy
+    det = sxx * syy - sxy * sxy
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+    return tr / 2.0 - disc  # λ_min
+
+
+def normalize_contrast(img: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Zero-mean/unit-std luminance normalization (CLAHE stand-in)."""
+    mu = img.mean()
+    sd = img.std()
+    return (img - mu) / jnp.maximum(sd, eps)
+
+
+def grid_select_features(
+    score: jax.Array,
+    occupied_uv: jax.Array,
+    occupied_mask: jax.Array,
+    *,
+    grid_rows: int,
+    grid_cols: int,
+    per_cell: int,
+    min_score: float = 1e-5,
+    suppression_radius: int = 10,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-cell top-k corner selection with existing-feature suppression.
+
+    Batched reformulation of featureTracking's per-subregion FAST replenish
+    (``featureTracking.cpp:300-385``): instead of detecting only in deficient
+    cells, rank the dense score map per cell and mask out pixels near already
+    tracked features. Returns (uv (grid_rows·grid_cols·per_cell, 2) float,
+    valid mask).
+    """
+    H, W = score.shape
+    ch = H // grid_rows
+    cw = W // grid_cols
+
+    # suppress around existing features via a rasterized occupancy box filter
+    occ = jnp.zeros((H, W), bool)
+    xi = jnp.clip(occupied_uv[:, 0].astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(occupied_uv[:, 1].astype(jnp.int32), 0, H - 1)
+    occ = occ.at[yi, xi].max(occupied_mask)
+    r = suppression_radius
+    k = jnp.ones((2 * r + 1, 2 * r + 1), jnp.float32)
+    occ_dil = (
+        jax.scipy.signal.convolve2d(occ.astype(jnp.float32), k, mode="same") > 0
+    )
+    s = jnp.where(occ_dil, -jnp.inf, score)
+
+    # per-cell top-k
+    cells = s[: ch * grid_rows, : cw * grid_cols].reshape(
+        grid_rows, ch, grid_cols, cw
+    ).transpose(0, 2, 1, 3).reshape(grid_rows * grid_cols, ch * cw)
+    vals, flat_idx = jax.lax.top_k(cells, per_cell)  # (cells, k)
+
+    cy = flat_idx // cw
+    cx = flat_idx % cw
+    cell_ids = jnp.arange(grid_rows * grid_cols)[:, None]
+    row0 = (cell_ids // grid_cols) * ch
+    col0 = (cell_ids % grid_cols) * cw
+    uv = jnp.stack(
+        [(col0 + cx).astype(jnp.float32), (row0 + cy).astype(jnp.float32)],
+        axis=-1,
+    ).reshape(-1, 2)
+    valid = (vals > min_score).reshape(-1)
+    return uv, valid

@@ -1,0 +1,107 @@
+"""Pyramidal Lucas-Kanade optical flow, vmapped over features.
+
+Replaces ``cv::calcOpticalFlowPyrLK`` (``featureTracking.cpp:203-211``:
+25×25 window, 4 levels) with a batched inverse-compositional KLT: each
+feature's window solve is a tiny 2×2 GN vmapped across all features — the
+per-feature "small GN" → vmap reformulation SURVEY.md §7 calls for. The
+forward/backward consistency gate (``:214-237``: re-track reversed, accept
+if the round trip lands within 1 px) is ``track_pyramid_reverse_checked``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .image import bilinear, gradients
+
+
+def _window_offsets(win: int, dtype=jnp.float32):
+    r = (win - 1) / 2.0
+    xs = jnp.linspace(-r, r, win, dtype=dtype)
+    ox, oy = jnp.meshgrid(xs, xs)
+    return jnp.stack([ox.ravel(), oy.ravel()], axis=-1)  # (win², 2)
+
+
+def _track_level(img0, img1, gx, gy, uv0, guess, *, win: int, iters: int):
+    """One pyramid level of inverse-compositional KLT for all features.
+
+    uv0 (N, 2): feature coords in img0 at this level; guess (N, 2): current
+    displacement estimate. Returns refined displacement (N, 2).
+    """
+    offs = _window_offsets(win, img0.dtype)                 # (W2, 2)
+
+    def per_feature(uv, d):
+        pts0 = uv[None, :] + offs                            # (W2, 2)
+        t = bilinear(img0, pts0)                             # template
+        jx = bilinear(gx, pts0)
+        jy = bilinear(gy, pts0)
+        # 2x2 normal matrix of the template gradient (inverse compositional)
+        a11 = jnp.sum(jx * jx)
+        a12 = jnp.sum(jx * jy)
+        a22 = jnp.sum(jy * jy)
+        det = a11 * a22 - a12 * a12
+        ok = det > 1e-9
+        inv_det = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-12), 0.0)
+
+        def body(i, d):
+            cur = bilinear(img1, pts0 + d[None, :])
+            e = cur - t
+            b1 = jnp.sum(e * jx)
+            b2 = jnp.sum(e * jy)
+            dd = inv_det * jnp.stack(
+                [a22 * b1 - a12 * b2, a11 * b2 - a12 * b1]
+            )
+            return d - dd
+
+        d = jax.lax.fori_loop(0, iters, body, d)
+        return d, ok
+
+    return jax.vmap(per_feature)(uv0, guess)
+
+
+@partial(jax.jit, static_argnames=("win", "iters", "levels"))
+def track_pyramid(
+    pyr0: tuple, pyr1: tuple, uv0: jax.Array,
+    *, win: int = 25, iters: int = 10, levels: int = 4,
+) -> tuple[jax.Array, jax.Array]:
+    """Track features uv0 (N, 2, level-0 pixels) from pyr0 to pyr1.
+
+    Coarse-to-fine over ``levels``; returns (uv1 (N, 2), ok (N,)).
+    """
+    scale_top = 2.0 ** (levels - 1)
+    d = jnp.zeros_like(uv0) / scale_top
+    ok_all = jnp.ones(uv0.shape[0], bool)
+    for lvl in range(levels - 1, -1, -1):
+        s = 2.0 ** lvl
+        img0 = pyr0[lvl]
+        img1 = pyr1[lvl]
+        gx, gy = gradients(img0)
+        d, ok = _track_level(
+            img0, img1, gx, gy, uv0 / s, d, win=win, iters=iters
+        )
+        ok_all = ok_all & ok
+        if lvl > 0:
+            d = d * 2.0
+    uv1 = uv0 + d
+    H, W = pyr1[0].shape
+    inb = (
+        (uv1[:, 0] >= 1) & (uv1[:, 0] < W - 1)
+        & (uv1[:, 1] >= 1) & (uv1[:, 1] < H - 1)
+    )
+    return uv1, ok_all & inb
+
+
+@partial(jax.jit, static_argnames=("win", "iters", "levels"))
+def track_pyramid_reverse_checked(
+    pyr0: tuple, pyr1: tuple, uv0: jax.Array,
+    *, win: int = 25, iters: int = 10, levels: int = 4,
+    max_reverse_err: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Forward + reverse track with round-trip gate ≤ max_reverse_err px."""
+    uv1, ok_f = track_pyramid(pyr0, pyr1, uv0, win=win, iters=iters, levels=levels)
+    uv0_back, ok_b = track_pyramid(pyr1, pyr0, uv1, win=win, iters=iters, levels=levels)
+    err = jnp.linalg.norm(uv0_back - uv0, axis=-1)
+    return uv1, ok_f & ok_b & (err <= max_reverse_err)

@@ -1,0 +1,106 @@
+"""Direct photometric tracker + keyframe sampling tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_visual_odometry_tpu.data import synthetic
+from lidar_visual_odometry_tpu.models import keyframe as kfm
+from lidar_visual_odometry_tpu.models import tracker_direct as td
+from lidar_visual_odometry_tpu.ops import camera, image, se3
+
+CAM = dict(fx=120.0, fy=120.0, cx=160.0, cy=48.0, width=320, height=96)
+
+
+def make_cam():
+    return camera.Pinhole(
+        jnp.float32(CAM["fx"]), jnp.float32(CAM["fy"]),
+        jnp.float32(CAM["cx"]), jnp.float32(CAM["cy"]),
+        CAM["width"], CAM["height"], jnp.zeros(5),
+    )
+
+
+def render_at(scene, yaw, pos):
+    R, t = synthetic.camera_from_velodyne_pose(
+        synthetic.yaw_matrix(yaw), np.asarray(pos)
+    )
+    img, depth = synthetic.render_image(scene, R, t, **CAM)
+    return img, depth, R, t
+
+
+def depth_to_points(depth, rng, n=8192):
+    ys = rng.integers(0, CAM["height"], n)
+    xs = rng.integers(0, CAM["width"], n)
+    z = depth[ys, xs]
+    ok = np.isfinite(z)
+    z = np.where(ok, z, 1.0)
+    pts = np.stack(
+        [
+            (xs - CAM["cx"]) / CAM["fx"] * z,
+            (ys - CAM["cy"]) / CAM["fy"] * z,
+            z,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return pts, ok
+
+
+class TestKeyframeSampling:
+    def test_selects_gradient_points(self, rng):
+        scene = synthetic.BoxScene.corridor(0)
+        img, depth, R, t = render_at(scene, 0.0, [0.0, 0.0, 1.5])
+        pts, ok = depth_to_points(depth, rng)
+        kf = kfm.make_keyframe(
+            jnp.asarray(img), make_cam(), jnp.asarray(pts), jnp.asarray(ok),
+            se3.identity_pose(), levels=3, cap=1024,
+        )
+        n_sel = int(np.asarray(kf.point_mask).sum())
+        assert 50 < n_sel <= 1024, n_sel
+        # selected points project inside the image
+        from lidar_visual_odometry_tpu.ops import camera as cam_ops
+
+        uv, front = cam_ops.project(make_cam(), kf.points)
+        m = np.asarray(kf.point_mask)
+        assert np.asarray(front)[m].all()
+
+
+class TestDirectTracker:
+    def test_recovers_motion(self, rng):
+        scene = synthetic.BoxScene.corridor(0)
+        img0, depth0, R0, t0 = render_at(scene, 0.0, [0.0, 0.0, 1.5])
+        img1, depth1, R1, t1 = render_at(scene, 0.006, [0.35, 0.05, 1.5])
+        pts, okm = depth_to_points(depth0, rng)
+        cam = make_cam()
+        kf = kfm.make_keyframe(
+            jnp.asarray(img0), cam, jnp.asarray(pts), jnp.asarray(okm),
+            se3.identity_pose(), levels=3, cap=1024,
+        )
+        cur_pyr = tuple(image.build_pyramid(jnp.asarray(img1), 3))
+
+        # GT: p_cam1 = R1ᵀ(p_w − t1), p_w = R0 p_cam0 + t0
+        R_rel = R1.T @ R0
+        t_rel = R1.T @ (t0 - t1)
+        T_gt = se3.Pose(
+            se3.matrix_to_quat(jnp.asarray(R_rel, dtype=jnp.float32)),
+            jnp.asarray(t_rel, dtype=jnp.float32),
+        )
+
+        T = td.track(
+            kf, cur_pyr, cam, se3.identity_pose(),
+            levels=3, iters_per_level=15,
+        )
+        err = se3.se3_log(se3.se3_compose(se3.se3_inverse(T_gt), T))
+        assert float(jnp.linalg.norm(err[:3])) < 0.05, np.asarray(err)
+        assert float(jnp.linalg.norm(err[3:])) < 0.01, np.asarray(err)
+
+    def test_identity_motion_stays_identity(self, rng):
+        scene = synthetic.BoxScene.corridor(0)
+        img0, depth0, *_ = render_at(scene, 0.0, [0.0, 0.0, 1.5])
+        pts, okm = depth_to_points(depth0, rng)
+        cam = make_cam()
+        kf = kfm.make_keyframe(
+            jnp.asarray(img0), cam, jnp.asarray(pts), jnp.asarray(okm),
+            se3.identity_pose(), levels=3, cap=1024,
+        )
+        cur_pyr = tuple(image.build_pyramid(jnp.asarray(img0), 3))
+        T = td.track(kf, cur_pyr, cam, se3.identity_pose(), levels=3)
+        assert float(jnp.linalg.norm(T.t)) < 5e-3

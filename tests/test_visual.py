@@ -1,0 +1,137 @@
+"""Visual frontend tests: depth association, triangulation, pose GN, and a
+two-frame end-to-end visual odometry run on photo-consistent renders."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_visual_odometry_tpu.data import synthetic
+from lidar_visual_odometry_tpu.models import visual_frontend as vf
+from lidar_visual_odometry_tpu.ops import camera, se3
+from lidar_visual_odometry_tpu.utils.config import VisualConfig
+
+CAM = dict(fx=120.0, fy=120.0, cx=160.0, cy=48.0, width=320, height=96)
+
+
+def make_cam():
+    return camera.Pinhole(
+        jnp.float32(CAM["fx"]), jnp.float32(CAM["fy"]),
+        jnp.float32(CAM["cx"]), jnp.float32(CAM["cy"]),
+        CAM["width"], CAM["height"], jnp.zeros(5),
+    )
+
+
+class TestDepthAssoc:
+    def test_recovers_plane_depth(self, rng):
+        # depth cloud on the z=5 fronto-parallel plane
+        xy = rng.uniform(-2, 2, size=(512, 2)).astype(np.float32)
+        pts = np.concatenate([xy, np.full((512, 1), 5.0, np.float32)], axis=1)
+        dc = vf.build_depth_cloud(jnp.asarray(pts), jnp.ones(512, bool))
+        un = jnp.asarray(rng.uniform(-0.3, 0.3, size=(32, 2)).astype(np.float32))
+        d, ok = vf.associate_depth(un, jnp.ones(32, bool), dc)
+        assert np.asarray(ok).mean() > 0.9
+        np.testing.assert_allclose(
+            np.asarray(d)[np.asarray(ok)], 5.0, atol=0.05
+        )
+
+    def test_rejects_depth_discontinuity(self):
+        # 3 NN spanning a >2 m depth jump must be rejected
+        pts = np.array(
+            [[0.0, 0.0, 5.0], [0.05, 0.0, 5.0], [0.0, 0.05, 9.0]], np.float32
+        )
+        dc = vf.build_depth_cloud(jnp.asarray(pts), jnp.ones(3, bool))
+        d, ok = vf.associate_depth(
+            jnp.asarray([[0.0, 0.0]]), jnp.ones(1, bool), dc
+        )
+        assert not bool(ok[0])
+
+
+class TestTriangulate:
+    def test_known_depth(self):
+        # point at (0.5, 0.2, 8) in prev frame; first obs from 2 m to the left
+        p_prev = np.array([0.5, 0.2, 8.0], np.float32)
+        T_pf = se3.Pose(
+            jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+            jnp.asarray([2.0, 0.0, 0.0], jnp.float32),
+        )  # first → prev: x_prev = x_first + (2,0,0)
+        p_first = p_prev - np.array([2.0, 0.0, 0.0], np.float32)
+        un0 = jnp.asarray([p_prev[:2] / p_prev[2]])
+        start_un = jnp.asarray([p_first[:2] / p_first[2]])
+        d, ok = vf.triangulate(un0, start_un, se3.Pose(T_pf.q[None], T_pf.t[None]))
+        assert bool(ok[0])
+        np.testing.assert_allclose(float(d[0]), 8.0, rtol=1e-3)
+
+
+class TestSolvePose:
+    def test_recovers_motion_with_depth(self, rng):
+        """Synthetic correspondences with exact depths: GN must recover the
+        known T_cur_prev."""
+        true_rel = se3.se3_exp(
+            jnp.asarray([0.15, -0.08, 0.3, 0.01, -0.02, 0.015], jnp.float32)
+        )
+        n = 256
+        pts_prev = np.stack(
+            [
+                rng.uniform(-4, 4, n),
+                rng.uniform(-2, 2, n),
+                rng.uniform(4, 20, n),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        p_cur = np.asarray(se3.se3_apply(true_rel, jnp.asarray(pts_prev)))
+        un0 = jnp.asarray(pts_prev[:, :2] / pts_prev[:, 2:])
+        un1 = jnp.asarray(p_cur[:, :2] / p_cur[:, 2:])
+        depth = jnp.asarray(pts_prev[:, 2])
+        cfg = VisualConfig(gn_iters=50)
+        est = vf.solve_pose(
+            se3.identity_pose(), un0, un1, depth,
+            jnp.ones(n, bool), jnp.zeros(n, bool), cfg,
+        )
+        err = se3.se3_log(se3.se3_compose(se3.se3_inverse(true_rel), est))
+        assert float(jnp.abs(err).max()) < 1e-3, np.asarray(err)
+
+
+class TestVisualOdometryEndToEnd:
+    def test_two_frame_motion(self):
+        scene = synthetic.BoxScene.corridor(0)
+        cam = make_cam()
+        cfg = VisualConfig(
+            gn_iters=50, lk_levels=3, lk_window=15,
+            grid_rows=3, grid_cols=8, max_tracked=256, max_features_per_cell=5,
+            depth_cloud_cap=8192,
+        )
+        vo = vf.VisualOdometry(cam, cfg)
+
+        rng = np.random.default_rng(0)
+        poses = []
+        for k in range(3):
+            R, t = synthetic.camera_from_velodyne_pose(
+                synthetic.yaw_matrix(0.004 * k),
+                np.array([0.4 * k, 0.0, 1.5]),
+            )
+            poses.append((R, t))
+            img, depth = synthetic.render_image(scene, R, t, **CAM)
+            # lidar depth cloud: subsample the rendered depth map
+            ys = rng.integers(0, CAM["height"], 4096)
+            xs = rng.integers(0, CAM["width"], 4096)
+            z = depth[ys, xs]
+            okm = np.isfinite(z)
+            pts_cam = np.stack(
+                [
+                    (xs - CAM["cx"]) / CAM["fx"] * z,
+                    (ys - CAM["cy"]) / CAM["fy"] * z,
+                    z,
+                ],
+                axis=-1,
+            ).astype(np.float32)
+            pts_cam[~okm] = 0.0
+            pose_w = vo.process(
+                jnp.asarray(img), jnp.asarray(pts_cam), jnp.asarray(okm)
+            )
+
+        # estimated world pose of frame 2 (in frame-0 camera coords)
+        R0, t0 = poses[0]
+        R2, t2 = poses[2]
+        t_gt = R0.T @ (t2 - t0)
+        t_est = np.asarray(pose_w.t)
+        err = np.linalg.norm(t_est - t_gt)
+        assert err < 0.08, (t_est, t_gt)
