@@ -25,7 +25,16 @@ def main():
     seq = synthetic.SyntheticSequence(
         n_frames=n_frames, width=1800, speed=1.0, yaw_rate=0.004, noise=0.01
     )
-    scans = [seq.scan(k) for k in range(n_frames)]
+    # deterministic scans: cache renders to disk (raycasting costs ~2 min)
+    import os
+
+    cache = os.path.join(os.path.dirname(__file__), ".bench_scans.npz")
+    if os.path.exists(cache):
+        data = np.load(cache)
+        scans = [data[f"s{k}"] for k in range(n_frames)]
+    else:
+        scans = [seq.scan(k) for k in range(n_frames)]
+        np.savez_compressed(cache, **{f"s{k}": s for k, s in enumerate(scans)})
     gt = np.stack([seq.pose(k)[1] for k in range(n_frames)])
 
     # warmup / compile

@@ -1,0 +1,105 @@
+"""System-level tests: stream sync, profiler, and the combined cam-lidar
+pipeline producing two consistent trajectories."""
+
+import numpy as np
+import pytest
+
+from lidar_visual_odometry_tpu.data import sync, synthetic
+from lidar_visual_odometry_tpu.utils.profiler import StageTimer
+
+
+class TestSync:
+    def test_match_nearest(self):
+        lidar = np.array([0.0, 0.1, 0.2, 5.0])
+        imgs = np.array([0.01, 0.12, 0.19])
+        m = sync.match_nearest(lidar, imgs, tol=0.227)
+        np.testing.assert_array_equal(m, [0, 1, 2, -1])
+
+    def test_bundle_imu(self):
+        lidar = np.array([0.1, 0.2])
+        imu = np.array([0.02, 0.05, 0.1, 0.15, 0.2, 0.25])
+        groups = sync.bundle_imu(lidar, imu)
+        np.testing.assert_array_equal(groups[0], [0, 1, 2])
+        np.testing.assert_array_equal(groups[1], [3, 4])
+
+    def test_derotate_cloud_removes_pitch(self):
+        from lidar_visual_odometry_tpu.ops import se3
+        import jax.numpy as jnp
+
+        q = np.asarray(se3.so3_exp(jnp.asarray([0.0, 0.3, 0.0], jnp.float32)))
+        pts = np.array([[1.0, 0.0, 0.0]])
+        out = sync.derotate_cloud(pts, q)
+        # gravity-aligned: the pitched x-axis point returns to the x-y plane…
+        # and with zero yaw exactly to where the rotated frame put it minus tilt
+        assert abs(out[0, 2]) < abs((pts @ np.asarray(
+            se3.quat_to_matrix(jnp.asarray(q))).T)[0, 2]) + 1e-9
+
+
+class TestProfiler:
+    def test_budget_tracking(self):
+        t = StageTimer(budget_ms=0.001)
+        import time as _t
+
+        with t.stage("slow"):
+            _t.sleep(0.002)
+        s = t.summary()
+        assert s["slow"]["count"] == 1
+        assert s["slow"]["over_budget"] == 1
+        assert "slow" in t.report()
+
+
+class TestCamLidarPipeline:
+    @pytest.mark.slow
+    def test_dual_trajectories(self):
+        from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+            CamLidarPipeline,
+        )
+        from lidar_visual_odometry_tpu.utils.config import (
+            CameraConfig, ExtrinsicConfig, LidarConfig, OdometryConfig,
+            SystemConfig, VisualConfig,
+        )
+
+        # camera forward-looking on the sensor, zero offset
+        R_sc = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+        ext = tuple(tuple(float(v) for v in row) + (0.0,) for row in R_sc.T)
+        CAM = dict(fx=120.0, fy=120.0, cx=160.0, cy=48.0, width=320, height=96)
+        cfg = SystemConfig(
+            lidar=LidarConfig(azimuth_bins=1024),
+            odometry=OdometryConfig(outer_iters=5, gn_iters=4),
+            camera=CameraConfig(
+                fx=CAM["fx"], fy=CAM["fy"], cx=CAM["cx"], cy=CAM["cy"],
+                width=CAM["width"], height=CAM["height"],
+            ),
+            visual=VisualConfig(
+                gn_iters=40, lk_levels=3, lk_window=15, grid_rows=3,
+                grid_cols=8, max_tracked=256, depth_cloud_cap=16384,
+            ),
+            extrinsic=ExtrinsicConfig(matrix=ext),
+        )
+
+        seq = synthetic.SyntheticSequence(n_frames=4, width=900, noise=0.005)
+        scans, images = [], []
+        for k in range(4):
+            scans.append(seq.scan(k))
+            R, t = seq.pose(k)
+            Rc, tc = synthetic.camera_from_velodyne_pose(R, t)
+            img, _ = synthetic.render_image(seq.scene, Rc, tc, **CAM)
+            images.append(img)
+
+        result = CamLidarPipeline(cfg).run(scans, images)
+        # both trajectories advance ~1 m/frame along +x (velodyne frame)
+        R0, t0 = seq.pose(0)
+        gt = np.stack([R0.T @ (seq.pose(k)[1] - t0) for k in range(4)])
+        err_l = np.linalg.norm(result.lidar_positions - gt, axis=1)
+        assert err_l.max() < 0.25, (result.lidar_positions, gt)
+        # visual: this shrunken config (900-col scan, 320×96 image) leaves
+        # only ~30 depth-carrying features, below the count where the
+        # reference's outlier gates engage — the first cold frame carries a
+        # depth-outlier bias. Plumbing check here; accuracy is covered by
+        # tests/test_visual.py with dense depth.
+        err_v = np.linalg.norm(result.visual_positions - gt, axis=1)
+        assert err_v.max() < 0.7, (result.visual_positions, gt)
+        steps = np.diff(result.visual_positions, axis=0)
+        np.testing.assert_allclose(
+            np.linalg.norm(steps[-1]), 1.0, atol=0.15
+        )  # converged per-frame motion once warm
