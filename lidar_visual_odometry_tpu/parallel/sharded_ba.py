@@ -1,0 +1,133 @@
+"""Distributed photometric window BA over a device mesh.
+
+The scaling design from BASELINE.json's north star: bundle-adjustment residual
+blocks are partitioned across devices and the pose normal-equation system is
+reduced with ``lax.psum`` over ICI. For the photometric window BA the unknowns
+are only the K keyframe poses (points are lidar-anchored, not estimated), so
+the psum'd (K·6)² system *is* the Schur-reduced camera system — each device
+computes its shard's contribution, one collective of K²·36 + K·6 floats per
+iteration rides the interconnect, and the tiny solve replicates.
+
+Sharding axis: the keyframe *point* dimension P (each device carries P/D
+points of every keyframe — balanced regardless of trajectory shape). Images
+replicate; at 5 keyframes of VGA-class pyramids that is a few MB per device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.tracker_direct import _level_cam
+from ..models import window_ba
+from ..ops import gn, se3
+
+DATA_AXIS = "data"
+
+
+def sharded_refine(
+    mesh: Mesh,
+    pyramids: tuple,
+    points: jax.Array,       # (K, P, 3) — P sharded over the mesh
+    point_mask: jax.Array,   # (K, P)
+    poses: se3.Pose,
+    cam,
+    *,
+    n_iters: int = 5,
+    level: int = 1,
+    tdist_dof: float = 5.0,
+) -> se3.Pose:
+    """Drop-in distributed version of ``window_ba.refine``.
+
+    Note the one semantic deviation: the robust-weight scale uses a *mean*
+    absolute residual (psum-able in O(1)) instead of the median/MAD — a
+    distributed median would need a full gather. Mean-based sigma changes
+    weights by a bounded factor (≈1.25 for normal residuals); the test suite
+    checks convergence parity on clean data.
+    """
+    K, P_total = point_mask.shape
+    imgs = pyramids[level]
+    cam_l = _level_cam(cam, level)
+    hs, ts = jnp.nonzero(~jnp.eye(K, dtype=bool), size=K * (K - 1))
+
+    def body(imgs, points, point_mask, poses):
+        def system(poses):
+            r, J, ok = jax.vmap(
+                lambda h, t: window_ba._pair_residuals(
+                    imgs, points, point_mask, poses, h, t, cam_l
+                )
+            )(hs, ts)
+            w_ok = ok[..., None].astype(r.dtype)
+            # distributed robust scale: mean |r| over all shards (psum)
+            abs_sum = jax.lax.psum(jnp.sum(jnp.abs(r) * w_ok), DATA_AXIS)
+            cnt = jax.lax.psum(jnp.sum(w_ok), DATA_AXIS)
+            sigma = jnp.maximum(1.2533 * abs_sum / jnp.maximum(cnt, 1.0), 1e-4)
+            w = gn.tdist_weight(r, sigma, tdist_dof) * w_ok
+
+            A = jnp.einsum(
+                "pnd,pndi,pndj->pij", w, J, J,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            v = jnp.einsum(
+                "pnd,pndi,pnd->pi", w, J, r,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            H = jnp.zeros((K, K, 6, 6), A.dtype)
+            H = H.at[hs, hs].add(A).at[ts, ts].add(A)
+            H = H.at[hs, ts].add(-A).at[ts, hs].add(-A)
+            g = jnp.zeros((K, 6), v.dtype)
+            g = g.at[hs].add(v).at[ts].add(-v)
+            # ONE collective per iteration: the pose system + scalar χ²
+            H = jax.lax.psum(H, DATA_AXIS)
+            g = jax.lax.psum(g, DATA_AXIS)
+            chi2 = jax.lax.psum(jnp.sum(w * r * r), DATA_AXIS)
+            return H, g, chi2
+
+        def step(carry, _):
+            poses, best_poses, best_chi2 = carry
+            H, g, chi2 = system(poses)
+            better = chi2 < best_chi2
+            best_poses = jax.tree.map(
+                lambda new, old: jnp.where(better, new, old), poses, best_poses
+            )
+            best_chi2 = jnp.minimum(chi2, best_chi2)
+
+            Hf = H.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+            gauge = jnp.zeros((6 * K,)).at[:6].set(window_ba.GAUGE_PRIOR)
+            delta = gn.solve_damped(
+                Hf + jnp.diag(gauge), g.reshape(6 * K), lm_lambda=1e-4
+            ).reshape(K, 6)
+            new_poses = se3.Pose(
+                se3.quat_normalize(
+                    se3.quat_mul(se3.so3_exp(delta[:, 3:]), poses.q)
+                ),
+                poses.t + delta[:, :3],
+            )
+            return (new_poses, best_poses, best_chi2), None
+
+        init = (poses, poses, jnp.float32(jnp.inf))
+        (poses_final, best_poses, best_chi2), _ = jax.lax.scan(
+            step, init, None, length=n_iters
+        )
+        _, _, chi2_final = system(poses_final)
+        better = chi2_final < best_chi2
+        return jax.tree.map(
+            lambda new, old: jnp.where(better, new, old),
+            poses_final, best_poses,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(),                            # level images replicated
+            P(None, DATA_AXIS, None),       # points sharded over P
+            P(None, DATA_AXIS),
+            se3.Pose(P(), P()),
+        ),
+        out_specs=se3.Pose(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(imgs, points, point_mask, poses)

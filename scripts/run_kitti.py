@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""KITTI odometry sequence runner.
+
+Replaces the reference's roslaunch workflow (kittiHelper → scanRegistration →
+laserOdometry → laserMapping → rviz) with one CLI: stream a KITTI sequence
+through the TPU pipeline (native async loader → jitted feature/odometry
+chunks [→ mapping]), write the trajectory in KITTI format, and print
+ATE / t_rel / r_rel against ground truth when available.
+
+Usage:
+    python scripts/run_kitti.py --root /data/kitti_odometry --sequence 0
+    python scripts/run_kitti.py --root ... --sequence 0 --mapping --max-frames 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True, help="KITTI odometry root")
+    ap.add_argument("--sequence", type=int, default=0)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--mapping", action="store_true", help="scan-to-map stage")
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--out", default=None, help="trajectory output path")
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    args = ap.parse_args()
+
+    from lidar_visual_odometry_tpu.data.kitti import KittiOdometrySequence
+    from lidar_visual_odometry_tpu.data.native_loader import NativeScanReader
+    from lidar_visual_odometry_tpu.eval import metrics
+    from lidar_visual_odometry_tpu.models.pipeline import (
+        FullPipeline, OdometryPipeline,
+    )
+    from lidar_visual_odometry_tpu.utils.config import kitti_config
+
+    seq = KittiOdometrySequence(args.root, args.sequence)
+    n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
+    cfg = kitti_config(args.sequence)
+
+    pattern = os.path.join(seq.seq_dir, "velodyne", "%06ld.bin")
+    reader = NativeScanReader(pattern, n_files=n)
+    scans = []
+    for xyz, mask, _ in reader:
+        scans.append(xyz[mask])
+    reader.close()
+
+    t0 = time.time()
+    if args.mapping:
+        pipe = FullPipeline(cfg)
+        odom, mapped = pipe.run(scans, progress=True)
+        result = mapped
+    else:
+        pipe = OdometryPipeline(cfg)
+        result = pipe.run_chunked(scans, chunk=args.chunk, progress=True)
+    wall = time.time() - t0
+
+    out_path = args.out or f"trajectory_{args.sequence:02d}.txt"
+    from lidar_visual_odometry_tpu.eval.metrics import poses_to_matrices
+
+    mats = poses_to_matrices(result.quaternions, result.positions)
+    with open(out_path, "w") as f:
+        for T in mats:
+            f.write(" ".join(f"{v:.6e}" for v in T[:3].reshape(-1)) + "\n")
+
+    report = {
+        "sequence": args.sequence,
+        "frames": n,
+        "fps": round((n - 1) / wall, 2),
+    }
+    if seq.gt_poses is not None:
+        gt = np.stack([seq.gt_pose_velodyne(k) for k in range(n)])
+        # express GT relative to the first velodyne pose (estimate frame)
+        gt_rel = np.linalg.inv(gt[0])[None] @ gt
+        report["ate_rmse_m"] = round(
+            metrics.ate_rmse(result.positions, gt_rel[:, :3, 3]), 4
+        )
+        t_rel, r_rel = metrics.kitti_relative_errors(mats, gt_rel)
+        report["t_rel_pct"] = round(t_rel, 3)
+        report["r_rel_deg_per_100m"] = round(r_rel, 4)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,3 +47,40 @@ def test_sharded_matches_single_device():
     )
     qd = np.abs(np.asarray(single.q) @ np.asarray(sharded.q))
     assert qd > 1 - 1e-6
+
+
+def test_sharded_window_ba_matches_single():
+    """Points-sharded BA on the 8-device mesh converges equivalently to the
+    single-device solver (robust scale differs mean-vs-median; compare final
+    pose accuracy, not bit equality)."""
+    from tests.test_window_ba import build_window
+    from lidar_visual_odometry_tpu.models import window_ba
+    from lidar_visual_odometry_tpu.parallel import sharded_ba, sharded_odometry
+
+    window, gt_poses, cam = build_window(3)
+    pyrs, points, masks, poses = window.stacked()
+
+    noise = np.zeros((3, 6), np.float32)
+    noise[1] = [0.04, -0.03, 0.02, 0.004, -0.006, 0.005]
+    noise[2] = [-0.03, 0.04, -0.03, -0.005, 0.004, -0.006]
+    from lidar_visual_odometry_tpu.ops.se3 import Pose, quat_mul, quat_normalize, so3_exp, se3_log, se3_compose, se3_inverse
+    dq = so3_exp(jnp.asarray(noise[:, 3:]))
+    perturbed = Pose(
+        quat_normalize(quat_mul(dq, poses.q)), poses.t + jnp.asarray(noise[:, :3])
+    )
+
+    single = window_ba.refine(pyrs, points, masks, perturbed, cam, n_iters=8, level=0)
+    mesh = sharded_odometry.make_mesh()
+    dist = sharded_ba.sharded_refine(
+        mesh, pyrs, points, masks, perturbed, cam, n_iters=8, level=0
+    )
+
+    def err(est, k):
+        e = se3_log(se3_compose(se3_inverse(gt_poses[k]), Pose(est.q[k], est.t[k])))
+        return float(jnp.linalg.norm(e))
+
+    for k in (1, 2):
+        before = float(jnp.linalg.norm(jnp.asarray(noise[k])))
+        assert err(dist, k) < 0.5 * before, (k, err(dist, k), before)
+        # distributed lands in the same basin as single-device
+        assert abs(err(dist, k) - err(single, k)) < 0.02

@@ -103,3 +103,56 @@ class TestCamLidarPipeline:
         np.testing.assert_allclose(
             np.linalg.norm(steps[-1]), 1.0, atol=0.15
         )  # converged per-frame motion once warm
+
+
+class TestCheckpoint:
+    def test_roundtrip_resume(self, tmp_path):
+        import jax.numpy as jnp
+
+        from lidar_visual_odometry_tpu.models import (
+            lidar_mapping as lm, lidar_odometry as lo,
+            scan_registration as sr,
+        )
+        from lidar_visual_odometry_tpu.ops import pointcloud as pc
+        from lidar_visual_odometry_tpu.utils import checkpoint as ck
+        from lidar_visual_odometry_tpu.utils.config import (
+            LidarConfig, MappingConfig, OdometryConfig,
+        )
+
+        seq = synthetic.SyntheticSequence(n_frames=4, width=600, noise=0.005)
+        cfg = LidarConfig(azimuth_bins=1024)
+        ocfg = OdometryConfig(outer_iters=4, gn_iters=4)
+        odom = lo.LidarOdometry(ocfg)
+        mapper = lm.LidarMapping(MappingConfig(outer_iters=1, gn_iters=2))
+        traj_q, traj_t = [], []
+        for k in range(2):
+            xyz, mask = pc.pad_points(seq.scan(k), 131072)
+            reg = sr.register_scan(jnp.asarray(xyz), jnp.asarray(mask), cfg)
+            pose, _ = odom.process(reg.features)
+            mapper.process(reg.features, pose)
+            traj_q.append(np.asarray(pose.q))
+            traj_t.append(np.asarray(pose.t))
+
+        path = str(tmp_path / "ckpt.npz")
+        ck.save_checkpoint(
+            path, frame_idx=2, odom_state=odom.state,
+            trajectory_q=np.stack(traj_q), trajectory_t=np.stack(traj_t),
+            mapper=mapper,
+        )
+
+        # resume into fresh objects, continue one frame, compare against the
+        # uninterrupted run
+        odom2 = lo.LidarOdometry(ocfg)
+        mapper2 = lm.LidarMapping(MappingConfig(outer_iters=1, gn_iters=2))
+        k0, state, tq, tt = ck.load_checkpoint(path, mapper=mapper2)
+        odom2.state = state
+        assert k0 == 2 and tq.shape[0] == 2
+        assert len(mapper2.corner_map.cubes) == len(mapper.corner_map.cubes)
+
+        xyz, mask = pc.pad_points(seq.scan(2), 131072)
+        reg = sr.register_scan(jnp.asarray(xyz), jnp.asarray(mask), cfg)
+        p_resumed, _ = odom2.process(reg.features)
+        p_orig, _ = odom.process(reg.features)
+        np.testing.assert_allclose(
+            np.asarray(p_resumed.t), np.asarray(p_orig.t), atol=1e-5
+        )
