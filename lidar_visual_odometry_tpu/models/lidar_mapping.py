@@ -50,22 +50,44 @@ def mapping_step(
 ) -> se3.Pose:
     """Refine the world pose of the current frame against the local submap.
 
-    corner/surf_pts: downsampled current-frame features (lidar frame).
+    corner/surf_pts: current-frame features (lidar frame); they are
+    voxel-downsampled at the mapping leaf sizes before association, like the
+    reference's per-frame stack filtering (laserMapping.cpp:542-550).
     init_pose: map-corrected initial guess (wmap_T_odom ∘ odom pose,
     ``transformAssociateToMap`` laserMapping.cpp:142-146).
     """
+    from ..ops.pointcloud import voxel_downsample
+
+    corner_ds = voxel_downsample(
+        corner_pts, corner_mask, leaf=cfg.corner_leaf, max_out=4096
+    )
+    surf_ds = voxel_downsample(
+        surf_pts, surf_mask, leaf=cfg.surf_leaf, max_out=8192
+    )
+    corner_pts_d, corner_mask_d = corner_ds.xyz, corner_ds.mask
+    surf_pts_d, surf_mask_d = surf_ds.xyz, surf_ds.mask
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    def nn5(qpts, cands: PointBatch, q_tile):
+        """(dist (Q,5), nbr coords (Q,5,3)) — Pallas streaming top-k on TPU,
+        XLA chunked top-k + gathers elsewhere."""
+        if on_tpu:
+            from ..ops import pallas_nn
+
+            baked = pallas_nn.bake_mask(cands.xyz, cands.mask)
+            return pallas_nn.block_topk_coords(
+                qpts, baked, k=cfg.knn, q_tile=q_tile
+            )
+        idx, dist = knn.knn(qpts, cands.xyz, cands.mask, cfg.knn, chunk=4096)
+        return dist, cands.xyz[idx]
 
     def outer(pose, _):
         # --- corner → line association (laserMapping.cpp:577-621) ---
-        cw = se3.se3_apply(pose, corner_pts)
-        cidx, cdist = knn.knn(
-            cw, local.corner.xyz, local.corner.mask, cfg.knn,
-            chunk=2048,
-        )
-        cnbrs = local.corner.xyz[cidx]                       # (Nc, K, 3)
-        cnbr_ok = local.corner.mask[cidx] & (
-            cdist < cfg.corner_nn_max_dist**2
-        )
+        cw = se3.se3_apply(pose, corner_pts_d)
+        cdist, cnbrs = nn5(cw, local.corner, 1024)
+        # 5th NN within 1 m² (laserMapping.cpp:584)
+        cnbr_ok = cdist < cfg.corner_nn_max_dist**2
         centroid, direction, line_ok = fit.line_fit(
             cnbrs, cnbr_ok, eig_ratio=cfg.line_eig_ratio
         )
@@ -73,22 +95,18 @@ def mapping_step(
         a = centroid + 0.1 * direction
         b = centroid - 0.1 * direction
         edge = lf.EdgeCorr(
-            p=corner_pts, a=a, b=b,
-            s=jnp.ones(corner_pts.shape[:1], corner_pts.dtype),
-            mask=corner_mask & line_ok,
+            p=corner_pts_d, a=a, b=b,
+            s=jnp.ones(corner_pts_d.shape[:1], corner_pts_d.dtype),
+            mask=corner_mask_d & line_ok,
         )
 
         # --- surf → plane association (laserMapping.cpp:643-687) ---
-        sw = se3.se3_apply(pose, surf_pts)
-        sidx, sdist = knn.knn(
-            sw, local.surf.xyz, local.surf.mask, cfg.knn,
-            chunk=4096,
-        )
-        snbrs = local.surf.xyz[sidx]
-        snbr_ok = local.surf.mask[sidx] & (sdist < 25.0)  # 5th-NN gate (:662: 1.0? ref uses sqrt? keep loose)
+        sw = se3.se3_apply(pose, surf_pts_d)
+        sdist, snbrs = nn5(sw, local.surf, 1024)
+        snbr_ok = sdist < 1.0                      # (laserMapping.cpp:653)
         n, d, plane_ok = fit.plane_fit(snbrs, snbr_ok, tol=cfg.plane_fit_tol)
         plane = lf.NormPlaneCorr(
-            p=surf_pts, n=n, d=d, mask=surf_mask & plane_ok
+            p=surf_pts_d, n=n, d=d, mask=surf_mask_d & plane_ok
         )
 
         def inner(pose, _):

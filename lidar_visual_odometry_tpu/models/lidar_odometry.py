@@ -75,35 +75,49 @@ def scan_to_scan_impl(
 
     def outer(pose, _):
         # --- data association at the current pose estimate ---
+        # coords-emitting association: correspondence points come back as
+        # coordinates (gathered in-kernel on TPU), no index gathers here
         q_corner = lf._transform_deskewed(pose, sharp.xyz, s_sharp)
-        ea = knn.associate_edges_ringblocked(
+        ea = knn.associate_edges_coords(
             q_corner, sharp.mask, ls_blocks, ls_mask,
             dist_sq_threshold=cfg.dist_sq_threshold,
             nearby_scan=cfg.nearby_scan,
         )
         q_surf = lf._transform_deskewed(pose, flat.xyz, s_flat)
-        pa = knn.associate_planes_ringblocked(
+        pa = knn.associate_planes_coords(
             q_surf, flat.mask, lfb, lf_mask,
             dist_sq_threshold=cfg.dist_sq_threshold,
             nearby_scan=cfg.nearby_scan,
         )
         edge = lf.EdgeCorr(
-            p=sharp.xyz,
-            a=prev_less_sharp.xyz[ea.j0],
-            b=prev_less_sharp.xyz[ea.j2],
-            s=s_sharp,
-            mask=ea.valid,
+            p=sharp.xyz, a=ea.a, b=ea.b, s=s_sharp, mask=ea.valid
         )
         plane = lf.PlaneCorr(
-            p=flat.xyz,
-            j=prev_less_flat.xyz[pa.j0],
-            l=prev_less_flat.xyz[pa.j2],
-            m=prev_less_flat.xyz[pa.j3],
-            s=s_flat,
-            mask=pa.valid,
+            p=flat.xyz, j=pa.j, l=pa.l, m=pa.m, s=s_flat, mask=pa.valid
         )
 
         # --- Gauss-Newton at fixed correspondences ---
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and not cfg.deskew
+            and reduce_fn is _identity_reduce
+        )
+        if use_fused:
+            # single fused Pallas kernel: all gn_iters VMEM-resident
+            # (ops/pallas_gn.py). Point layout (3, N), weights (1, N).
+            from ..ops import pallas_gn
+
+            q, t = pallas_gn.gn_inner_loop(
+                pose.q, pose.t,
+                edge.p.T, edge.a.T, edge.b.T,
+                edge.mask.astype(jnp.float32)[None],
+                plane.p.T, plane.j.T, plane.l.T, plane.m.T,
+                plane.mask.astype(jnp.float32)[None],
+                n_iters=cfg.gn_iters,
+                huber_delta=cfg.huber_delta,
+            )
+            return se3.Pose(q, t), None
+
         def inner(pose, _):
             re, Je = lf.edge_residuals(pose, edge)
             rp, Jp = lf.plane_residuals(pose, plane)

@@ -271,6 +271,110 @@ def associate_planes_ringblocked(
     return PlaneAssoc(j0, j2, j3, valid)
 
 
+class EdgeAssocCoords(NamedTuple):
+    """Edge association resolved to coordinates (no index gathers needed)."""
+
+    a: jax.Array      # (Q, 3) nearest neighbor
+    b: jax.Array      # (Q, 3) nearest on a different ring within the window
+    valid: jax.Array
+
+
+class PlaneAssocCoords(NamedTuple):
+    j: jax.Array      # nearest
+    l: jax.Array      # same-ring runner-up
+    m: jax.Array      # different-ring nearest within the window
+    valid: jax.Array
+
+
+def _ring_top2_with_coords(q_xyz, c_blocks, m_blocks):
+    """(dist (Q,R,2), c1 (Q,R,3), c2 (Q,R,3)): Pallas on TPU (coords gathered
+    in-kernel via one-hot MXU dots), XLA + small gathers elsewhere."""
+    if jax.default_backend() == "tpu":
+        from . import pallas_nn
+
+        R, B, _ = c_blocks.shape
+        baked = pallas_nn.bake_mask(c_blocks, m_blocks)
+        B_pad = -(-B // 128) * 128
+        if B_pad != B:
+            baked = jnp.pad(
+                baked, ((0, 0), (0, B_pad - B), (0, 0)),
+                constant_values=pallas_nn.BAKE_FAR,
+            )
+        return pallas_nn.ring_top2_coords(q_xyz, baked)
+
+    dist, idx = ring_top2(q_xyz, c_blocks, m_blocks)
+    flat = c_blocks.reshape(-1, 3)
+    return dist, flat[idx[..., 0]], flat[idx[..., 1]]
+
+
+def _take_ring(x, r):
+    """x (Q, R, ...) indexed at per-query ring r (Q,) → (Q, ...)."""
+    return jnp.take_along_axis(
+        x, r[:, None, *([None] * (x.ndim - 2))], axis=1
+    )[:, 0]
+
+
+def associate_edges_coords(
+    q_xyz: jax.Array,
+    q_mask: jax.Array,
+    c_blocks: jax.Array,
+    m_blocks: jax.Array,
+    *,
+    dist_sq_threshold: float = 25.0,
+    nearby_scan: float = 2.5,
+) -> EdgeAssocCoords:
+    """Corner association returning line endpoint coordinates directly."""
+    dist, c1, _ = _ring_top2_with_coords(q_xyz, c_blocks, m_blocks)
+    d1 = dist[:, :, 0]
+    r0 = jnp.argmin(d1, axis=1)
+    d0 = _take_ring(d1, r0)
+    a = _take_ring(c1, r0)
+
+    R = c_blocks.shape[0]
+    rings = jnp.arange(R, dtype=jnp.float32)[None, :]
+    rd = jnp.abs(rings - r0[:, None].astype(jnp.float32))
+    d1m = jnp.where((rd > 0.0) & (rd <= nearby_scan), d1, _BIG)
+    r2 = jnp.argmin(d1m, axis=1)
+    d2 = _take_ring(d1m, r2)
+    b = _take_ring(c1, r2)
+    valid = q_mask & (d0 < dist_sq_threshold) & (d2 < dist_sq_threshold)
+    return EdgeAssocCoords(a, b, valid)
+
+
+def associate_planes_coords(
+    q_xyz: jax.Array,
+    q_mask: jax.Array,
+    c_blocks: jax.Array,
+    m_blocks: jax.Array,
+    *,
+    dist_sq_threshold: float = 25.0,
+    nearby_scan: float = 2.5,
+) -> PlaneAssocCoords:
+    """Surf association returning the three plane-point coordinates."""
+    dist, c1, c2 = _ring_top2_with_coords(q_xyz, c_blocks, m_blocks)
+    d1 = dist[:, :, 0]
+    r0 = jnp.argmin(d1, axis=1)
+    d0 = _take_ring(d1, r0)
+    j = _take_ring(c1, r0)
+    d2 = _take_ring(dist[:, :, 1], r0)
+    l = _take_ring(c2, r0)
+
+    R = c_blocks.shape[0]
+    rings = jnp.arange(R, dtype=jnp.float32)[None, :]
+    rd = jnp.abs(rings - r0[:, None].astype(jnp.float32))
+    d1m = jnp.where((rd > 0.0) & (rd <= nearby_scan), d1, _BIG)
+    r3 = jnp.argmin(d1m, axis=1)
+    d3 = _take_ring(d1m, r3)
+    m = _take_ring(c1, r3)
+    valid = (
+        q_mask
+        & (d0 < dist_sq_threshold)
+        & (d2 < dist_sq_threshold)
+        & (d3 < dist_sq_threshold)
+    )
+    return PlaneAssocCoords(j, l, m, valid)
+
+
 def knn(
     q_xyz: jax.Array,
     c_xyz: jax.Array,

@@ -35,7 +35,7 @@ def bake_mask(xyz: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.where(mask[..., None], xyz, BAKE_FAR)
 
 
-def _ring_top2_kernel(q_ref, c_ref, d_ref, i_ref):
+def _ring_top2_kernel(q_ref, c_ref, d_ref, i_ref, c12_ref):
     q = q_ref[:]                     # (Q, 3)
     c = c_ref[0]                     # (B, 3)
     Q = q.shape[0]
@@ -57,6 +57,16 @@ def _ring_top2_kernel(q_ref, c_ref, d_ref, i_ref):
     d_ref[0] = jnp.stack([d1, d2], axis=-1)
     i_ref[0] = jnp.stack([i1, i2], axis=-1)
 
+    # Gather the two winners' coordinates via one-hot MXU matmuls — XLA-side
+    # gathers of correspondence points measure ~1.3 ms on these shapes; here
+    # they are two (Q, B)×(B, 3) dots over data already in VMEM.
+    oh1 = (col == i1[:, None]).astype(jnp.float32)
+    oh2 = (col == i2[:, None]).astype(jnp.float32)
+    c1 = jnp.dot(oh1, c, preferred_element_type=jnp.float32)
+    c2 = jnp.dot(oh2, c, preferred_element_type=jnp.float32)
+    zeros = jnp.zeros((Q, 1), jnp.float32)
+    c12_ref[0] = jnp.concatenate([c1, c2, zeros, zeros], axis=-1)
+
 
 @partial(jax.jit, static_argnames=("interpret",))
 def ring_top2_pallas(
@@ -69,10 +79,16 @@ def ring_top2_pallas(
     BAKE_FAR points otherwise. Returns (dist (Q, R, 2), idx (Q, R, 2)),
     idx flat into (R·B) — drop-in replacement for ``knn.ring_top2``.
     """
+    d_rings, i_rings, _ = _ring_top2_call(q_xyz, c_blocks_baked, interpret)
+    R, B, _ = c_blocks_baked.shape
+    base = (jnp.arange(R, dtype=jnp.int32) * B)[:, None, None]
+    return d_rings.transpose(1, 0, 2), (i_rings + base).transpose(1, 0, 2)
+
+
+def _ring_top2_call(q_xyz, c_blocks_baked, interpret):
     Q = q_xyz.shape[0]
     R, B, _ = c_blocks_baked.shape
-
-    d_rings, i_rings = pl.pallas_call(
+    return pl.pallas_call(
         _ring_top2_kernel,
         grid=(R,),
         in_specs=[
@@ -82,13 +98,146 @@ def ring_top2_pallas(
         out_specs=[
             pl.BlockSpec((1, Q, 2), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q, 2), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, 8), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((R, Q, 2), jnp.float32),
             jax.ShapeDtypeStruct((R, Q, 2), jnp.int32),
+            jax.ShapeDtypeStruct((R, Q, 8), jnp.float32),
         ],
         interpret=interpret,
     )(q_xyz, c_blocks_baked)
 
-    base = (jnp.arange(R, dtype=jnp.int32) * B)[:, None, None]
-    return d_rings.transpose(1, 0, 2), (i_rings + base).transpose(1, 0, 2)
+
+def _block_topk_kernel(k, n_cchunks, q_ref, c_ref, d_out, c_out,
+                       ds_ref, xs_ref, ys_ref, zs_ref):
+    ct = pl.program_id(1)
+    q = q_ref[:]                      # (QT, 3)
+    c = c_ref[:]                      # (CT, 3)
+    QT = q.shape[0]
+    CT = c.shape[0]
+
+    @pl.when(ct == 0)
+    def _():
+        ds_ref[:] = jnp.full((QT, k), 1e30, jnp.float32)
+        xs_ref[:] = jnp.zeros((QT, k), jnp.float32)
+        ys_ref[:] = jnp.zeros((QT, k), jnp.float32)
+        zs_ref[:] = jnp.zeros((QT, k), jnp.float32)
+
+    dx = q[:, 0:1] - c[:, 0][None, :]
+    dy = q[:, 1:2] - c[:, 1][None, :]
+    dz = q[:, 2:3] - c[:, 2][None, :]
+    d = dx * dx + dy * dy + dz * dz   # (QT, CT)
+
+    # local top-k of this chunk via k masked argmin sweeps, coords by
+    # one-hot reductions (no gathers)
+    col = jax.lax.broadcasted_iota(jnp.int32, (QT, CT), 1)
+    loc_d, loc_x, loc_y, loc_z = [], [], [], []
+    cx = c[:, 0][None, :]
+    cy = c[:, 1][None, :]
+    cz = c[:, 2][None, :]
+    dm = d
+    for _ in range(k):
+        i = jnp.argmin(dm, axis=1)
+        oh = (col == i[:, None]).astype(jnp.float32)
+        loc_d.append(jnp.sum(oh * dm, axis=1))
+        loc_x.append(jnp.sum(oh * cx, axis=1))
+        loc_y.append(jnp.sum(oh * cy, axis=1))
+        loc_z.append(jnp.sum(oh * cz, axis=1))
+        dm = jnp.where(col == i[:, None], 1e30, dm)
+
+    # merge with the running best: (QT, 2k) → k argmin sweeps
+    md = jnp.concatenate([ds_ref[:], jnp.stack(loc_d, axis=1)], axis=1)
+    mx = jnp.concatenate([xs_ref[:], jnp.stack(loc_x, axis=1)], axis=1)
+    my = jnp.concatenate([ys_ref[:], jnp.stack(loc_y, axis=1)], axis=1)
+    mz = jnp.concatenate([zs_ref[:], jnp.stack(loc_z, axis=1)], axis=1)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (QT, 2 * k), 1)
+    nd, nx, ny, nz = [], [], [], []
+    for _ in range(k):
+        i = jnp.argmin(md, axis=1)
+        oh = (col2 == i[:, None]).astype(jnp.float32)
+        nd.append(jnp.sum(oh * jnp.where(md > 1e29, 0.0, md), axis=1)
+                  + jnp.where(jnp.min(md, axis=1) > 1e29, 1e30, 0.0))
+        nx.append(jnp.sum(oh * mx, axis=1))
+        ny.append(jnp.sum(oh * my, axis=1))
+        nz.append(jnp.sum(oh * mz, axis=1))
+        md = jnp.where(col2 == i[:, None], 1e30, md)
+    ds_ref[:] = jnp.stack(nd, axis=1)
+    xs_ref[:] = jnp.stack(nx, axis=1)
+    ys_ref[:] = jnp.stack(ny, axis=1)
+    zs_ref[:] = jnp.stack(nz, axis=1)
+
+    @pl.when(ct == n_cchunks - 1)
+    def _():
+        d_out[:] = ds_ref[:]
+        c_out[:, :, 0] = xs_ref[:]
+        c_out[:, :, 1] = ys_ref[:]
+        c_out[:, :, 2] = zs_ref[:]
+
+
+@partial(jax.jit, static_argnames=("k", "q_tile", "c_tile", "interpret"))
+def block_topk_coords(
+    q_xyz: jax.Array,
+    c_baked: jax.Array,
+    *,
+    k: int = 5,
+    q_tile: int = 1024,
+    c_tile: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """k nearest candidates per query with coordinates, streaming over
+    candidate chunks in VMEM (the scan-to-map kd-tree replacement;
+    laserMapping.cpp:582,648 5-NN queries).
+
+    q_xyz (Q, 3) with Q % q_tile == 0; c_baked (C, 3) with masked points at
+    BAKE_FAR and C % c_tile == 0. Returns (dist (Q, k), coords (Q, k, 3));
+    unfilled slots have dist ≥ 1e30.
+    """
+    Q = q_xyz.shape[0]
+    C = c_baked.shape[0]
+    assert Q % q_tile == 0 and C % c_tile == 0
+    n_c = C // c_tile
+
+    d, coords = pl.pallas_call(
+        partial(_block_topk_kernel, k, n_c),
+        grid=(Q // q_tile, n_c),
+        in_specs=[
+            pl.BlockSpec((q_tile, 3), lambda qi, ci: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_tile, 3), lambda qi, ci: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, k), lambda qi, ci: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, k, 3), lambda qi, ci: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, k), jnp.float32),
+            jax.ShapeDtypeStruct((Q, k, 3), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, k), jnp.float32),
+            pltpu.VMEM((q_tile, k), jnp.float32),
+            pltpu.VMEM((q_tile, k), jnp.float32),
+            pltpu.VMEM((q_tile, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_xyz, c_baked)
+    return d, coords
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def ring_top2_coords(
+    q_xyz: jax.Array, c_blocks_baked: jax.Array, *, interpret: bool = False
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-(query, ring) top-2 with gathered coordinates.
+
+    Returns (dist (Q, R, 2), c1 (Q, R, 3), c2 (Q, R, 3)) — the nearest and
+    runner-up candidate coordinates per ring, so downstream association needs
+    no index gathers into the big candidate cloud at all.
+    """
+    d_rings, _, c12 = _ring_top2_call(q_xyz, c_blocks_baked, interpret)
+    c12 = c12.transpose(1, 0, 2)
+    return d_rings.transpose(1, 0, 2), c12[..., 0:3], c12[..., 3:6]

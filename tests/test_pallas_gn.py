@@ -1,0 +1,116 @@
+"""Fused Pallas GN kernel vs the XLA reference implementation (interpret mode
+on CPU; the TPU path is exercised by the bench/pipeline)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_visual_odometry_tpu.ops import gn, lidar_factors as lf, pallas_gn, se3
+
+
+def make_problem(rng, ne=128, npl=256):
+    true = se3.se3_exp(
+        jnp.asarray([0.3, -0.15, 0.1, 0.02, -0.03, 0.04], jnp.float32)
+    )
+    # edge correspondences: current points whose transforms lie on lines
+    a = rng.uniform(-10, 10, (ne, 3)).astype(np.float32)
+    dirs = rng.normal(size=(ne, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    b = a + dirs
+    lam = rng.uniform(-0.5, 1.5, (ne, 1)).astype(np.float32)
+    on_line = a + lam * dirs
+    p_edge = np.asarray(se3.se3_apply(se3.se3_inverse(true), jnp.asarray(on_line)))
+
+    # plane correspondences
+    j = rng.uniform(-10, 10, (npl, 3)).astype(np.float32)
+    n = rng.normal(size=(npl, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    # tangent vectors
+    t1 = np.cross(n, [0.3, 0.7, 0.64])
+    t1 /= np.linalg.norm(t1, axis=1, keepdims=True)
+    t2 = np.cross(n, t1)
+    l = j + t1.astype(np.float32)
+    m = j + t2.astype(np.float32)
+    on_plane = j + 0.3 * t1 + 0.2 * t2
+    p_plane = np.asarray(
+        se3.se3_apply(se3.se3_inverse(true), jnp.asarray(on_plane.astype(np.float32)))
+    )
+    return true, (p_edge, a, b), (p_plane, j, l, m)
+
+
+def xla_gn(pose, edge, plane, n_iters=8, delta=0.1):
+    ec = lf.EdgeCorr(
+        jnp.asarray(edge[0]), jnp.asarray(edge[1]), jnp.asarray(edge[2]),
+        jnp.ones(edge[0].shape[0]), jnp.ones(edge[0].shape[0], bool),
+    )
+    pc_ = lf.PlaneCorr(
+        jnp.asarray(plane[0]), jnp.asarray(plane[1]), jnp.asarray(plane[2]),
+        jnp.asarray(plane[3]), jnp.ones(plane[0].shape[0]),
+        jnp.ones(plane[0].shape[0], bool),
+    )
+    for _ in range(n_iters):
+        re, Je = lf.edge_residuals(pose, ec)
+        rp, Jp = lf.plane_residuals(pose, pc_)
+        we = gn.huber_weight(jnp.linalg.norm(re, axis=-1), delta)
+        wp = gn.huber_weight(jnp.abs(rp[..., 0]), delta)
+        He, ge = gn.accumulate(re, Je, we, ec.mask)
+        Hp, gp = gn.accumulate(rp, Jp, wp, pc_.mask)
+        pose = gn.gn_update_pose(pose, gn.solve_damped(He + Hp, ge + gp))
+    return pose
+
+
+def to_rows(x, n_pad):
+    out = np.zeros((3, n_pad), np.float32)
+    out[:, : x.shape[0]] = x.T
+    return jnp.asarray(out)
+
+
+def test_pallas_matches_xla_and_recovers_pose(rng):
+    true, edge, plane = make_problem(rng)
+    ne, npl = edge[0].shape[0], plane[0].shape[0]
+
+    pose_xla = xla_gn(se3.identity_pose(), edge, plane)
+
+    w_e = np.zeros((1, 128), np.float32)
+    w_e[0, :ne] = 1.0
+    w_p = np.zeros((1, 256), np.float32)
+    w_p[0, :npl] = 1.0
+    q, t = pallas_gn.gn_inner_loop(
+        jnp.asarray([1.0, 0, 0, 0], jnp.float32), jnp.zeros(3, jnp.float32),
+        to_rows(edge[0], 128), to_rows(edge[1], 128), to_rows(edge[2], 128),
+        jnp.asarray(w_e),
+        to_rows(plane[0], 256), to_rows(plane[1], 256), to_rows(plane[2], 256),
+        to_rows(plane[3], 256), jnp.asarray(w_p),
+        n_iters=8, interpret=True,
+    )
+
+    # both recover the true pose
+    for name, (pq, pt) in (("xla", (pose_xla.q, pose_xla.t)), ("pallas", (q, t))):
+        err = se3.se3_log(
+            se3.se3_compose(se3.se3_inverse(true), se3.Pose(pq, pt))
+        )
+        assert float(jnp.abs(err).max()) < 2e-3, (name, np.asarray(err))
+
+    # and agree with each other tightly
+    np.testing.assert_allclose(np.asarray(t), np.asarray(pose_xla.t), atol=1e-3)
+    qd = abs(float(jnp.sum(q * pose_xla.q)))
+    assert qd > 1 - 1e-5
+
+
+def test_block_topk_coords_matches_bruteforce(rng):
+    from lidar_visual_odometry_tpu.ops import pallas_nn
+
+    Q, C, K = 256, 1024, 5
+    q = rng.normal(size=(Q, 3)).astype(np.float32) * 10
+    c = rng.normal(size=(C, 3)).astype(np.float32) * 10
+    mask = rng.uniform(size=C) > 0.3
+    baked = pallas_nn.bake_mask(jnp.asarray(c), jnp.asarray(mask))
+    d, coords = pallas_nn.block_topk_coords(
+        jnp.asarray(q), baked, k=K, q_tile=128, c_tile=256, interpret=True
+    )
+    D = np.linalg.norm(q[:, None] - c[None], axis=-1) ** 2
+    D[:, ~mask] = np.inf
+    order = np.argsort(D, axis=1)[:, :K]
+    want_d = np.take_along_axis(D, order, axis=1)
+    np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-3, atol=1e-3)
+    want_c = c[order]
+    np.testing.assert_allclose(np.asarray(coords), want_c, atol=1e-5)
