@@ -345,6 +345,26 @@ def se3_from_matrix(T: jax.Array) -> Pose:
     return Pose(matrix_to_quat(T[..., :3, :3]), T[..., :3, 3])
 
 
+def quat_to_ypr(q: jax.Array) -> jax.Array:
+    """(..., 4) → (yaw, pitch, roll) in radians, ZYX convention
+    (≡ Utility::R2ypr, include/aloam_velodyne/utility.h:77-96)."""
+    R = quat_to_matrix(q)
+    yaw = jnp.arctan2(R[..., 1, 0], R[..., 0, 0])
+    pitch = jnp.arcsin(jnp.clip(-R[..., 2, 0], -1.0, 1.0))
+    roll = jnp.arctan2(R[..., 2, 1], R[..., 2, 2])
+    return jnp.stack([yaw, pitch, roll], axis=-1)
+
+
+def ypr_to_quat(ypr: jax.Array) -> jax.Array:
+    """(yaw, pitch, roll) → quaternion, ZYX (≡ Utility::ypr2R)."""
+    y, p, r = ypr[..., 0], ypr[..., 1], ypr[..., 2]
+    zeros = jnp.zeros_like(y)
+    qz = so3_exp(jnp.stack([zeros, zeros, y], axis=-1))
+    qy = so3_exp(jnp.stack([zeros, p, zeros], axis=-1))
+    qx = so3_exp(jnp.stack([r, zeros, zeros], axis=-1))
+    return quat_mul(qz, quat_mul(qy, qx))
+
+
 def pose_interpolate(p: Pose, s) -> Pose:
     """Fractional pose exp(s·log): quaternion slerp-from-identity + s·t.
 

@@ -84,3 +84,64 @@ def test_sharded_window_ba_matches_single():
         assert err(dist, k) < 0.5 * before, (k, err(dist, k), before)
         # distributed lands in the same basin as single-device
         assert abs(err(dist, k) - err(single, k)) < 0.02
+
+
+def test_sharded_mapping_matches_single():
+    """Submap-sharded mapping equals the single-device refinement."""
+    import jax.numpy as jnp
+
+    from lidar_visual_odometry_tpu.data import synthetic
+    from lidar_visual_odometry_tpu.models import (
+        lidar_mapping as lm, scan_registration as sr,
+    )
+    from lidar_visual_odometry_tpu.ops import pointcloud as pcl, se3 as s3
+    from lidar_visual_odometry_tpu.parallel import (
+        sharded_mapping, sharded_odometry,
+    )
+    from lidar_visual_odometry_tpu.utils.config import (
+        LidarConfig, MappingConfig,
+    )
+
+    seq = synthetic.SyntheticSequence(n_frames=3, width=1200, noise=0.003)
+    cfg = LidarConfig(azimuth_bins=1024)
+    mcfg = MappingConfig(outer_iters=3, gn_iters=4)
+    mapper = lm.LidarMapping(mcfg)
+
+    xyz, mask = pcl.pad_points(seq.scan(0), 131072)
+    reg0 = sr.register_scan(jnp.asarray(xyz), jnp.asarray(mask), cfg)
+    R0, t0 = seq.pose(0)
+    pose0 = s3.Pose(
+        s3.matrix_to_quat(jnp.asarray(R0, dtype=jnp.float32)),
+        jnp.asarray(t0, dtype=jnp.float32),
+    )
+    mapper.process(reg0.features, pose0)
+
+    xyz, mask = pcl.pad_points(seq.scan(1), 131072)
+    reg1 = sr.register_scan(jnp.asarray(xyz), jnp.asarray(mask), cfg)
+    R1, t1 = seq.pose(1)
+    pose1 = s3.Pose(
+        s3.matrix_to_quat(jnp.asarray(R1, dtype=jnp.float32)),
+        jnp.asarray(t1, dtype=jnp.float32),
+    )
+    noise = s3.se3_exp(jnp.asarray([0.06, -0.04, 0.02, 0.008, -0.006, 0.01], jnp.float32))
+    pert = s3.se3_compose(noise, pose1)
+
+    local = lm.LocalMap(
+        mapper.corner_map.gather_local(np.asarray(pert.t), mcfg.submap_radius, mcfg.max_corner_map_local),
+        mapper.surf_map.gather_local(np.asarray(pert.t), mcfg.submap_radius, mcfg.max_surf_map_local),
+    )
+    single = lm.mapping_step(
+        reg1.features.less_sharp.xyz, reg1.features.less_sharp.mask,
+        reg1.features.less_flat.xyz, reg1.features.less_flat.mask,
+        local, pert, mcfg,
+    )
+    mesh = sharded_odometry.make_mesh()
+    dist = sharded_mapping.sharded_mapping_step(
+        mesh,
+        reg1.features.less_sharp.xyz, reg1.features.less_sharp.mask,
+        reg1.features.less_flat.xyz, reg1.features.less_flat.mask,
+        local, pert, mcfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.t), np.asarray(dist.t), atol=2e-3
+    )

@@ -138,3 +138,23 @@ class TestSE3:
         xi = jnp.asarray(rng.normal(size=(32, 6)).astype(np.float32))
         f = jax.jit(jax.vmap(lambda x: se3.se3_log(se3.se3_exp(x))))
         np.testing.assert_allclose(np.asarray(f(xi)), np.asarray(xi), atol=1e-3, rtol=1e-4)
+
+
+class TestYPR:
+    def test_roundtrip(self, rng):
+        ypr = jnp.asarray(
+            np.stack([
+                rng.uniform(-3, 3, 16), rng.uniform(-1.4, 1.4, 16),
+                rng.uniform(-3, 3, 16),
+            ], -1).astype(np.float32)
+        )
+        back = se3.quat_to_ypr(se3.ypr_to_quat(ypr))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(ypr), atol=1e-4)
+
+    def test_pure_yaw(self):
+        q = se3.ypr_to_quat(jnp.asarray([0.5, 0.0, 0.0]))
+        R = np.asarray(se3.quat_to_matrix(q))
+        want = np.array([
+            [np.cos(0.5), -np.sin(0.5), 0], [np.sin(0.5), np.cos(0.5), 0], [0, 0, 1],
+        ])
+        np.testing.assert_allclose(R, want, atol=1e-6)
