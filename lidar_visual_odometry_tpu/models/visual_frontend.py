@@ -361,9 +361,9 @@ def _replenish(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def visual_step(
-    prev_pyr: tuple,
-    cur_pyr: tuple,
+def solve_and_update(
+    uv1: jax.Array,
+    ok: jax.Array,
     prev_dc: DepthCloud,
     table: FeatureTable,
     pose_w: se3.Pose,
@@ -371,17 +371,13 @@ def visual_step(
     cam,
     cfg: VisualConfig,
 ) -> tuple[FeatureTable, se3.Pose, se3.Pose]:
-    """One frame of visual odometry. Returns (new table, T_cur_prev, new Tw)."""
+    """Post-tracking frame update: depth association, triangulation, pose GN,
+    state propagation. Split from tracking/replenishment so each piece is a
+    small independently-compiled program (monolithic visual graphs take
+    pathologically long on some XLA backends)."""
     from ..ops import camera as cam_ops
 
-    # 1. KLT with reverse check
-    uv1, ok = lk.track_pyramid_reverse_checked(
-        prev_pyr, cur_pyr, table.uv,
-        win=cfg.lk_window, iters=cfg.lk_iters, levels=cfg.lk_levels,
-        max_reverse_err=cfg.reverse_check_px,
-    )
     active = table.active & ok
-
     un0 = cam_ops.normalized(cam, table.uv)
     un1 = cam_ops.normalized(cam, uv1)
 
@@ -436,9 +432,34 @@ def visual_step(
         start_t=table.start_t,
         age=table.age + 1,
     )
-    # 7. replenish free slots from the current image
-    table = _replenish(table, cur_pyr[0], cam, new_pose_w, cfg)
     return table, rel, new_pose_w
+
+
+def visual_step(
+    prev_pyr: tuple,
+    cur_pyr: tuple,
+    prev_dc: DepthCloud,
+    table: FeatureTable,
+    pose_w: se3.Pose,
+    warm_rel: se3.Pose,
+    cam,
+    cfg: VisualConfig,
+) -> tuple[FeatureTable, se3.Pose, se3.Pose]:
+    """One frame of visual odometry as three jitted programs
+    (track → solve/update → replenish). Returns (table, T_cur_prev, Tw)."""
+    uv1, ok = lk.track_pyramid_reverse_checked(
+        prev_pyr, cur_pyr, table.uv,
+        win=cfg.lk_window, iters=cfg.lk_iters, levels=cfg.lk_levels,
+        max_reverse_err=cfg.reverse_check_px,
+    )
+    table, rel, new_pose_w = solve_and_update(
+        uv1, ok, prev_dc, table, pose_w, warm_rel, cam, cfg
+    )
+    table = _replenish_jit(table, cur_pyr[0], cam, new_pose_w, cfg)
+    return table, rel, new_pose_w
+
+
+_replenish_jit = jax.jit(_replenish, static_argnames=("cfg",))
 
 
 class VisualOdometry:
@@ -454,10 +475,6 @@ class VisualOdometry:
         self.prev_pyr = None
         self.prev_dc = None
 
-    _replenish_jit = staticmethod(
-        jax.jit(_replenish, static_argnames=("cfg",))
-    )
-
     def process(
         self, img: jax.Array, pts_cam: jax.Array, pts_mask: jax.Array
     ) -> se3.Pose:
@@ -465,7 +482,7 @@ class VisualOdometry:
         pyr = tuple(image.build_pyramid(img, self.cfg.lk_levels))
         dc = build_depth_cloud(pts_cam, pts_mask)
         if self.prev_pyr is None:
-            self.table = self._replenish_jit(
+            self.table = _replenish_jit(
                 self.table, pyr[0], self.cam, self.pose_w, self.cfg
             )
         else:
