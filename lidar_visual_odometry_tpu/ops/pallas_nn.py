@@ -62,8 +62,18 @@ def _ring_top2_kernel(q_ref, c_ref, d_ref, i_ref, c12_ref):
     # they are two (Q, B)×(B, 3) dots over data already in VMEM.
     oh1 = (col == i1[:, None]).astype(jnp.float32)
     oh2 = (col == i2[:, None]).astype(jnp.float32)
-    c1 = jnp.dot(oh1, c, preferred_element_type=jnp.float32)
-    c2 = jnp.dot(oh2, c, preferred_element_type=jnp.float32)
+    # HIGHEST: default MXU precision truncates coords to bf16 (~4e-3 relative
+    # → centimeters at lidar ranges; measured +27% ATE end-to-end)
+    c1 = jax.lax.dot_general(
+        oh1, c, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    c2 = jax.lax.dot_general(
+        oh2, c, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     zeros = jnp.zeros((Q, 1), jnp.float32)
     c12_ref[0] = jnp.concatenate([c1, c2, zeros, zeros], axis=-1)
 
