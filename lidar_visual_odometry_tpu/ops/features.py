@@ -164,7 +164,6 @@ def extract_features(
     corner_picks, corner_ok = [], []
     flat_picks, flat_ok = [], []
     corner_label = jnp.zeros((R, W), dtype=bool)
-    flat_label = jnp.zeros((R, W), dtype=bool)
 
     for j in range(n_sectors):
         sp, ep = _sector_bounds(cs.count, n_sectors, j)
@@ -186,9 +185,6 @@ def extract_features(
         )
         flat_picks.append(fp.T)
         flat_ok.append(fok.T)
-        flat_label = flat_label | (
-            jnp.zeros((R, W), bool).at[jnp.arange(R)[:, None], fp.T].max(fok.T)
-        )
 
     corner_picks = jnp.stack(corner_picks, axis=1)  # (R, S, K)
     corner_ok = jnp.stack(corner_ok, axis=1)

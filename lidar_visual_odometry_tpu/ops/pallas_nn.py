@@ -98,17 +98,25 @@ def ring_top2_pallas(
 def _ring_top2_call(q_xyz, c_blocks_baked, interpret):
     Q = q_xyz.shape[0]
     R, B, _ = c_blocks_baked.shape
+    # Tile queries: the full-Q kernel VMEM-OOMs at Q≈1536 (the (Q, B)
+    # distance matrix + two one-hot operands at HIGHEST precision exceed the
+    # 16 MB scoped limit). 256-query tiles keep every buffer ≲1 MB.
+    QT = Q
+    for cand in (256, 128, 64, 32, 16, 8):
+        if Q % cand == 0:
+            QT = cand
+            break
     return pl.pallas_call(
         _ring_top2_kernel,
-        grid=(R,),
+        grid=(Q // QT, R),
         in_specs=[
-            pl.BlockSpec((Q, 3), lambda r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 3), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QT, 3), lambda qi, r: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 3), lambda qi, r: (r, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Q, 2), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, 2), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, 8), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QT, 2), lambda qi, r: (r, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QT, 2), lambda qi, r: (r, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QT, 8), lambda qi, r: (r, qi, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((R, Q, 2), jnp.float32),

@@ -34,7 +34,17 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--out", default=None, help="trajectory output path")
     ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (env JAX_PLATFORMS is latched too late "
+        "in this container — this flag uses jax.config instead)",
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from lidar_visual_odometry_tpu.data.kitti import KittiOdometrySequence
     from lidar_visual_odometry_tpu.data.native_loader import NativeScanReader

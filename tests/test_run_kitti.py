@@ -1,0 +1,69 @@
+"""End-to-end CLI test: run_kitti.py over a synthetic sequence written in
+KITTI odometry format (bins + times + calib + poses)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from lidar_visual_odometry_tpu.data import synthetic
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    seq_dir = root / "sequences" / "00"
+    (seq_dir / "velodyne").mkdir(parents=True)
+    (root / "poses").mkdir()
+
+    seq = synthetic.SyntheticSequence(n_frames=4, width=600, noise=0.005)
+    n = 4
+    poses = []
+    for k in range(n):
+        pts = seq.scan(k)
+        data = np.concatenate(
+            [pts, np.zeros((pts.shape[0], 1), np.float32)], axis=1
+        )
+        data.tofile(seq_dir / "velodyne" / f"{k:06d}.bin")
+        R, t = seq.pose(k)
+        # cam0 pose = velo pose here (Tr = identity)
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        poses.append(T)
+    np.savetxt(seq_dir / "times.txt", np.arange(n) * 0.1)
+    with open(seq_dir / "calib.txt", "w") as f:
+        P = "7.070912e+02 0 6.018873e+02 0 0 7.070912e+02 1.831104e+02 0 0 0 1 0"
+        for k in ("P0", "P1", "P2", "P3"):
+            f.write(f"{k}: {P}\n")
+        f.write("Tr: 1 0 0 0 0 1 0 0 0 0 1 0\n")
+    with open(root / "poses" / "00.txt", "w") as f:
+        for T in poses:
+            f.write(" ".join(f"{v:.6e}" for v in T[:3].reshape(-1)) + "\n")
+    return root
+
+
+def test_cli_produces_trajectory_and_metrics(kitti_root, tmp_path):
+    out = tmp_path / "traj.txt"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", LVO_TPU_NO_CACHE="1")
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "run_kitti.py"),
+            "--root", str(kitti_root), "--sequence", "0",
+            "--chunk", "3", "--out", str(out), "--cpu",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["frames"] == 4
+    assert report["ate_rmse_m"] < 0.1, report
+    traj = np.loadtxt(out)
+    assert traj.shape == (4, 12)
+    # trajectory advances ~1 m/frame
+    assert 0.8 < traj[-1, 3] - traj[-2, 3] < 1.2
