@@ -286,21 +286,27 @@ class PlaneAssocCoords(NamedTuple):
     valid: jax.Array
 
 
+def _baked_padded(c_blocks, m_blocks):
+    from . import pallas_nn
+
+    B = c_blocks.shape[1]
+    baked = pallas_nn.bake_mask(c_blocks, m_blocks)
+    B_pad = -(-B // 128) * 128
+    if B_pad != B:
+        baked = jnp.pad(
+            baked, ((0, 0), (0, B_pad - B), (0, 0)),
+            constant_values=pallas_nn.BAKE_FAR,
+        )
+    return baked
+
+
 def _ring_top2_with_coords(q_xyz, c_blocks, m_blocks):
     """(dist (Q,R,2), c1 (Q,R,3), c2 (Q,R,3)): Pallas on TPU (coords gathered
     in-kernel via one-hot MXU dots), XLA + small gathers elsewhere."""
     if jax.default_backend() == "tpu":
         from . import pallas_nn
 
-        R, B, _ = c_blocks.shape
-        baked = pallas_nn.bake_mask(c_blocks, m_blocks)
-        B_pad = -(-B // 128) * 128
-        if B_pad != B:
-            baked = jnp.pad(
-                baked, ((0, 0), (0, B_pad - B), (0, 0)),
-                constant_values=pallas_nn.BAKE_FAR,
-            )
-        return pallas_nn.ring_top2_coords(q_xyz, baked)
+        return pallas_nn.ring_top2_coords(q_xyz, _baked_padded(c_blocks, m_blocks))
 
     dist, idx = ring_top2(q_xyz, c_blocks, m_blocks)
     flat = c_blocks.reshape(-1, 3)
@@ -324,6 +330,18 @@ def associate_edges_coords(
     nearby_scan: float = 2.5,
 ) -> EdgeAssocCoords:
     """Corner association returning line endpoint coordinates directly."""
+    if jax.default_backend() == "tpu":
+        from . import pallas_nn
+
+        out = pallas_nn.associate_kernel(
+            q_xyz, _baked_padded(c_blocks, m_blocks), nearby_scan=nearby_scan
+        )
+        valid = (
+            q_mask
+            & (out[:, 9] < dist_sq_threshold)
+            & (out[:, 11] < dist_sq_threshold)
+        )
+        return EdgeAssocCoords(out[:, 0:3], out[:, 6:9], valid)
     dist, c1, _ = _ring_top2_with_coords(q_xyz, c_blocks, m_blocks)
     d1 = dist[:, :, 0]
     r0 = jnp.argmin(d1, axis=1)
@@ -351,6 +369,19 @@ def associate_planes_coords(
     nearby_scan: float = 2.5,
 ) -> PlaneAssocCoords:
     """Surf association returning the three plane-point coordinates."""
+    if jax.default_backend() == "tpu":
+        from . import pallas_nn
+
+        out = pallas_nn.associate_kernel(
+            q_xyz, _baked_padded(c_blocks, m_blocks), nearby_scan=nearby_scan
+        )
+        valid = (
+            q_mask
+            & (out[:, 9] < dist_sq_threshold)
+            & (out[:, 10] < dist_sq_threshold)
+            & (out[:, 11] < dist_sq_threshold)
+        )
+        return PlaneAssocCoords(out[:, 0:3], out[:, 3:6], out[:, 6:9], valid)
     dist, c1, c2 = _ring_top2_with_coords(q_xyz, c_blocks, m_blocks)
     d1 = dist[:, :, 0]
     r0 = jnp.argmin(d1, axis=1)

@@ -127,6 +127,114 @@ def _ring_top2_call(q_xyz, c_blocks_baked, interpret):
     )(q_xyz, c_blocks_baked)
 
 
+def _assoc_kernel(nearby_scan, q_ref, c_ref, out_ref, d1s, d2s, c1s, c2s):
+    """Full ring-structured association for one query tile.
+
+    Loops rings in-kernel (per-ring top-2 + coordinates into VMEM scratch),
+    then resolves the cross-ring selection: nearest overall (ring r0), its
+    same-ring runner-up, and the nearest within ±nearby_scan rings of r0 —
+    everything the edge and plane associators need, in one launch.
+
+    out (QT, 16): [c1r0(3) | c2r0(3) | c1rw(3) | d0 | d2same | dw | 0…].
+    """
+    q = q_ref[:]                         # (QT, 3)
+    QT = q.shape[0]
+    R = c_ref.shape[0]
+    B = c_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (QT, B), 1)
+
+    def per_ring(r, _):
+        c = c_ref[pl.ds(r, 1)][0]        # (B, 3)
+        dx = q[:, 0:1] - c[:, 0][None, :]
+        dy = q[:, 1:2] - c[:, 1][None, :]
+        dz = q[:, 2:3] - c[:, 2][None, :]
+        d = dx * dx + dy * dy + dz * dz
+        i1 = jnp.argmin(d, axis=1)
+        d1 = jnp.min(d, axis=1)
+        d_rest = jnp.where(col == i1[:, None], 1e30, d)
+        i2 = jnp.argmin(d_rest, axis=1)
+        d2 = jnp.min(d_rest, axis=1)
+        oh1 = (col == i1[:, None]).astype(jnp.float32)
+        oh2 = (col == i2[:, None]).astype(jnp.float32)
+        c1 = jax.lax.dot_general(
+            oh1, c, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        c2 = jax.lax.dot_general(
+            oh2, c, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d1s[:, pl.ds(r, 1)] = d1[:, None]
+        d2s[:, pl.ds(r, 1)] = d2[:, None]
+        c1s[:, pl.ds(r, 1), :] = c1[:, None, :]
+        c2s[:, pl.ds(r, 1), :] = c2[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, R, per_ring, 0)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (QT, R), 1)
+    d1_all = d1s[:]
+    r0 = jnp.argmin(d1_all, axis=1)
+    d0 = jnp.min(d1_all, axis=1)
+    oh0 = (rows == r0[:, None]).astype(jnp.float32)
+    c1r0 = jnp.einsum("qr,qrc->qc", oh0, c1s[:])
+    c2r0 = jnp.einsum("qr,qrc->qc", oh0, c2s[:])
+    d2same = jnp.sum(oh0 * d2s[:], axis=1)
+
+    rdiff = jnp.abs(rows.astype(jnp.float32) - r0[:, None].astype(jnp.float32))
+    win = (rdiff > 0.0) & (rdiff <= nearby_scan)
+    d1w = jnp.where(win, d1_all, 1e30)
+    rw = jnp.argmin(d1w, axis=1)
+    dw = jnp.min(d1w, axis=1)
+    ohw = (rows == rw[:, None]).astype(jnp.float32) * win.astype(jnp.float32)
+    c1rw = jnp.einsum("qr,qrc->qc", ohw, c1s[:])
+
+    pad = jnp.zeros((QT, 4), jnp.float32)
+    out_ref[:] = jnp.concatenate(
+        [c1r0, c2r0, c1rw,
+         d0[:, None], d2same[:, None], dw[:, None], pad],
+        axis=-1,
+    )
+
+
+@partial(jax.jit, static_argnames=("nearby_scan", "q_tile", "interpret"))
+def associate_kernel(
+    q_xyz: jax.Array,
+    c_blocks_baked: jax.Array,
+    *,
+    nearby_scan: float = 2.5,
+    q_tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-launch association: returns (Q, 16) rows
+    [a/j (3) | l (3) | b/m (3) | d0 | d2same | dw | pad] — see _assoc_kernel.
+    """
+    Q = q_xyz.shape[0]
+    R, B, _ = c_blocks_baked.shape
+    qt = q_tile
+    while Q % qt:
+        qt //= 2
+    return pl.pallas_call(
+        partial(_assoc_kernel, nearby_scan),
+        grid=(Q // qt,),
+        in_specs=[
+            pl.BlockSpec((qt, 3), lambda qi: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, B, 3), lambda qi: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qt, 16), lambda qi: (qi, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Q, 16), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((qt, R), jnp.float32),
+            pltpu.VMEM((qt, R), jnp.float32),
+            pltpu.VMEM((qt, R, 3), jnp.float32),
+            pltpu.VMEM((qt, R, 3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_xyz, c_blocks_baked)
+
+
 def _block_topk_kernel(k, n_cchunks, q_ref, c_ref, d_out, c_out,
                        ds_ref, xs_ref, ys_ref, zs_ref):
     ct = pl.program_id(1)

@@ -114,3 +114,39 @@ def test_block_topk_coords_matches_bruteforce(rng):
     np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-3, atol=1e-3)
     want_c = c[order]
     np.testing.assert_allclose(np.asarray(coords), want_c, atol=1e-5)
+
+
+def test_associate_kernel_matches_reference(rng):
+    """The one-launch association kernel (interpret) vs the XLA coords path."""
+    from lidar_visual_odometry_tpu.ops import knn, pallas_nn
+
+    R, B, Q = 16, 128, 128
+    c = rng.normal(size=(R, B, 3)).astype(np.float32) * 8
+    cm = rng.uniform(size=(R, B)) > 0.2
+    q = rng.normal(size=(Q, 3)).astype(np.float32) * 8
+    baked = pallas_nn.bake_mask(jnp.asarray(c), jnp.asarray(cm))
+
+    out = pallas_nn.associate_kernel(
+        jnp.asarray(q), baked, q_tile=64, interpret=True
+    )
+    out = np.asarray(out)
+
+    ea = knn.associate_edges_coords(
+        jnp.asarray(q), jnp.ones(Q, bool), jnp.asarray(c), jnp.asarray(cm)
+    )
+    pa = knn.associate_planes_coords(
+        jnp.asarray(q), jnp.ones(Q, bool), jnp.asarray(c), jnp.asarray(cm)
+    )
+    v = np.asarray(ea.valid)
+    np.testing.assert_allclose(out[v, 0:3], np.asarray(ea.a)[v], atol=1e-5)
+    np.testing.assert_allclose(out[v, 6:9], np.asarray(ea.b)[v], atol=1e-5)
+    v = np.asarray(pa.valid)
+    np.testing.assert_allclose(out[v, 0:3], np.asarray(pa.j)[v], atol=1e-5)
+    np.testing.assert_allclose(out[v, 3:6], np.asarray(pa.l)[v], atol=1e-5)
+    np.testing.assert_allclose(out[v, 6:9], np.asarray(pa.m)[v], atol=1e-5)
+    # gates reproduce validity
+    d0, d2s, dw = out[:, 9], out[:, 10], out[:, 11]
+    valid_edge = (d0 < 25.0) & (dw < 25.0)
+    np.testing.assert_array_equal(valid_edge, np.asarray(ea.valid))
+    valid_plane = (d0 < 25.0) & (d2s < 25.0) & (dw < 25.0)
+    np.testing.assert_array_equal(valid_plane, np.asarray(pa.valid))
