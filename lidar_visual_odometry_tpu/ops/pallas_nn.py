@@ -156,40 +156,44 @@ def _assoc_kernel(nearby_scan, q_ref, c_ref, out_ref, d1s, d2s, c1s, c2s):
         d2 = jnp.min(d_rest, axis=1)
         oh1 = (col == i1[:, None]).astype(jnp.float32)
         oh2 = (col == i2[:, None]).astype(jnp.float32)
-        c1 = jax.lax.dot_general(
-            oh1, c, dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        c2 = jax.lax.dot_general(
-            oh2, c, dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        d1s[:, pl.ds(r, 1)] = d1[:, None]
-        d2s[:, pl.ds(r, 1)] = d2[:, None]
-        c1s[:, pl.ds(r, 1), :] = c1[:, None, :]
-        c2s[:, pl.ds(r, 1), :] = c2[:, None, :]
+        c1 = jnp.stack([
+            jnp.sum(oh1 * c[:, 0][None, :], axis=1),
+            jnp.sum(oh1 * c[:, 1][None, :], axis=1),
+            jnp.sum(oh1 * c[:, 2][None, :], axis=1),
+        ], axis=-1)
+        c2 = jnp.stack([
+            jnp.sum(oh2 * c[:, 0][None, :], axis=1),
+            jnp.sum(oh2 * c[:, 1][None, :], axis=1),
+            jnp.sum(oh2 * c[:, 2][None, :], axis=1),
+        ], axis=-1)
+        # scratch is (R, QT[, 3]): dynamic ring index on the leading dim
+        # (lane-dim dynamic indices must be 128-aligned in Mosaic)
+        d1s[pl.ds(r, 1), :] = d1[None, :]
+        d2s[pl.ds(r, 1), :] = d2[None, :]
+        c1s[pl.ds(r, 1)] = c1[None]
+        c2s[pl.ds(r, 1)] = c2[None]
         return 0
 
     jax.lax.fori_loop(0, R, per_ring, 0)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (QT, R), 1)
+    # selection in (R, QT) layout: ring reductions run over the sublane axis
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, QT), 0)
     d1_all = d1s[:]
-    r0 = jnp.argmin(d1_all, axis=1)
-    d0 = jnp.min(d1_all, axis=1)
-    oh0 = (rows == r0[:, None]).astype(jnp.float32)
-    c1r0 = jnp.einsum("qr,qrc->qc", oh0, c1s[:])
-    c2r0 = jnp.einsum("qr,qrc->qc", oh0, c2s[:])
-    d2same = jnp.sum(oh0 * d2s[:], axis=1)
+    r0 = jnp.argmin(d1_all, axis=0)                         # (QT,)
+    d0 = jnp.min(d1_all, axis=0)
+    oh0 = (rows == r0[None, :]).astype(jnp.float32)
+    # broadcast-multiply-reduce (Mosaic cannot lower batched einsum dots)
+    c1r0 = jnp.sum(oh0[:, :, None] * c1s[:], axis=0)        # (QT, 3)
+    c2r0 = jnp.sum(oh0[:, :, None] * c2s[:], axis=0)
+    d2same = jnp.sum(oh0 * d2s[:], axis=0)
 
-    rdiff = jnp.abs(rows.astype(jnp.float32) - r0[:, None].astype(jnp.float32))
+    rdiff = jnp.abs(rows.astype(jnp.float32) - r0[None, :].astype(jnp.float32))
     win = (rdiff > 0.0) & (rdiff <= nearby_scan)
     d1w = jnp.where(win, d1_all, 1e30)
-    rw = jnp.argmin(d1w, axis=1)
-    dw = jnp.min(d1w, axis=1)
-    ohw = (rows == rw[:, None]).astype(jnp.float32) * win.astype(jnp.float32)
-    c1rw = jnp.einsum("qr,qrc->qc", ohw, c1s[:])
+    rw = jnp.argmin(d1w, axis=0)
+    dw = jnp.min(d1w, axis=0)
+    ohw = (rows == rw[None, :]).astype(jnp.float32) * win.astype(jnp.float32)
+    c1rw = jnp.sum(ohw[:, :, None] * c1s[:], axis=0)
 
     pad = jnp.zeros((QT, 4), jnp.float32)
     out_ref[:] = jnp.concatenate(
@@ -205,7 +209,7 @@ def associate_kernel(
     c_blocks_baked: jax.Array,
     *,
     nearby_scan: float = 2.5,
-    q_tile: int = 256,
+    q_tile: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """One-launch association: returns (Q, 16) rows
@@ -226,10 +230,10 @@ def associate_kernel(
         out_specs=pl.BlockSpec((qt, 16), lambda qi: (qi, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Q, 16), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((qt, R), jnp.float32),
-            pltpu.VMEM((qt, R), jnp.float32),
-            pltpu.VMEM((qt, R, 3), jnp.float32),
-            pltpu.VMEM((qt, R, 3), jnp.float32),
+            pltpu.VMEM((R, qt), jnp.float32),
+            pltpu.VMEM((R, qt), jnp.float32),
+            pltpu.VMEM((R, qt, 3), jnp.float32),
+            pltpu.VMEM((R, qt, 3), jnp.float32),
         ],
         interpret=interpret,
     )(q_xyz, c_blocks_baked)

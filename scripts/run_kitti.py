@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--out", default=None, help="trajectory output path")
     ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--plot", default=None, help="write a trajectory PNG here")
     ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (env JAX_PLATFORMS is latched too late "
@@ -98,6 +99,14 @@ def main() -> None:
         t_rel, r_rel = metrics.kitti_relative_errors(mats, gt_rel)
         report["t_rel_pct"] = round(t_rel, 3)
         report["r_rel_deg_per_100m"] = round(r_rel, 4)
+        if args.plot:
+            from lidar_visual_odometry_tpu.eval.plot import plot_trajectory
+
+            plot_trajectory(
+                result.positions, gt_rel[:, :3, 3], args.plot,
+                title=f"KITTI {args.sequence:02d}",
+            )
+            report["plot"] = args.plot
     print(json.dumps(report))
 
 

@@ -1,0 +1,68 @@
+"""Trajectory metric tests: alignment invariances and KITTI relative errors."""
+
+import numpy as np
+
+from lidar_visual_odometry_tpu.eval import metrics
+
+
+def make_traj(n=200, step=1.0):
+    t = np.arange(n) * step
+    xyz = np.stack([t, 10 * np.sin(t * 0.05), np.zeros(n)], -1)
+    return xyz
+
+
+class TestATE:
+    def test_zero_for_identical(self):
+        xyz = make_traj()
+        assert metrics.ate_rmse(xyz, xyz) < 1e-9
+
+    def test_alignment_removes_rigid_offset(self):
+        xyz = make_traj()
+        theta = 0.3
+        R = np.array(
+            [[np.cos(theta), -np.sin(theta), 0],
+             [np.sin(theta), np.cos(theta), 0],
+             [0, 0, 1]]
+        )
+        moved = xyz @ R.T + np.array([5.0, -3.0, 2.0])
+        assert metrics.ate_rmse(moved, xyz, align=True) < 1e-6
+        assert metrics.ate_rmse(moved, xyz, align=False) > 1.0
+
+    def test_detects_drift(self):
+        xyz = make_traj()
+        drift = xyz + np.linspace(0, 1, xyz.shape[0])[:, None] * [0, 1, 0]
+        v = metrics.ate_rmse(drift, xyz, align=False)
+        assert 0.3 < v < 1.0
+
+
+class TestKittiRel:
+    def test_perfect_trajectory(self):
+        xyz = make_traj(n=1200)
+        mats = np.tile(np.eye(4), (1200, 1, 1))
+        mats[:, :3, 3] = xyz
+        t_rel, r_rel = metrics.kitti_relative_errors(mats, mats)
+        assert t_rel < 1e-9 and r_rel < 1e-6
+
+    def test_scale_drift_detected(self):
+        xyz = make_traj(n=1200)
+        est = np.tile(np.eye(4), (1200, 1, 1))
+        est[:, :3, 3] = xyz * 1.02   # 2% scale error
+        gt = np.tile(np.eye(4), (1200, 1, 1))
+        gt[:, :3, 3] = xyz
+        t_rel, _ = metrics.kitti_relative_errors(est, gt)
+        assert 1.0 < t_rel < 3.5, t_rel
+
+    def test_short_trajectory_nan(self):
+        mats = np.tile(np.eye(4), (5, 1, 1))
+        t_rel, r_rel = metrics.kitti_relative_errors(mats, mats)
+        assert np.isnan(t_rel)
+
+
+def test_plot_trajectory(tmp_path):
+    from lidar_visual_odometry_tpu.eval.plot import plot_trajectory
+
+    xyz = make_traj(50)
+    out = plot_trajectory(xyz, xyz + 0.01, str(tmp_path / "t.png"))
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 10000
