@@ -104,3 +104,34 @@ class TestDirectTracker:
         cur_pyr = tuple(image.build_pyramid(jnp.asarray(img0), 3))
         T = td.track(kf, cur_pyr, cam, se3.identity_pose(), levels=3)
         assert float(jnp.linalg.norm(T.t)) < 5e-3
+
+
+class TestDirectVOPipeline:
+    def test_sequence_tracking_with_window_ba(self, rng):
+        from lidar_visual_odometry_tpu.models.direct_vo import DirectVO
+        from lidar_visual_odometry_tpu.utils.config import VisualConfig
+
+        scene = synthetic.BoxScene.corridor(0)
+        cam = make_cam()
+        cfg = VisualConfig(pyramid_levels=3, keyframe_window=3)
+        vo = DirectVO(cam, cfg, point_cap=512)
+
+        poses_gt = []
+        est = []
+        for k in range(4):
+            img, depth, R, t = render_at(
+                scene, 0.004 * k, [0.35 * k, 0.0, 1.5]
+            )
+            pts, okm = depth_to_points(depth, rng, n=8192)
+            pose = vo.process(
+                jnp.asarray(img), jnp.asarray(pts), jnp.asarray(okm)
+            )
+            poses_gt.append((R, t))
+            est.append(np.asarray(pose.t))
+
+        R0, t0 = poses_gt[0]
+        for k in range(1, 4):
+            Rk, tk = poses_gt[k]
+            gt_t = (tk - t0) @ R0  # world → frame-0 camera coords
+            err = np.linalg.norm(est[k] - gt_t)
+            assert err < 0.12, (k, est[k], gt_t)
