@@ -39,11 +39,11 @@ def main():
 
     # warmup / compile
     pipe = OdometryPipeline(SystemConfig())
-    pipe.run_chunked(scans[:9], chunk=8)
+    pipe.run_chunked(scans[:9], chunk=8, quantize=True)
 
     pipe = OdometryPipeline(SystemConfig())
     t0 = time.time()
-    result = pipe.run_chunked(scans, chunk=8)
+    result = pipe.run_chunked(scans, chunk=8, quantize=True)
     wall = time.time() - t0
     fps = (n_frames - 1) / wall
 

@@ -171,6 +171,54 @@ def odometry_step(
     return OdometryState(pose_w, rel, feats.less_sharp, feats.less_flat), pose_w
 
 
+# Host→device transfer quantization for raw scans: the tunneled-TPU link
+# moves ~80 MB/s, so the 12.6 MB/chunk float32 upload dominates the pipeline
+# (~220 ms/chunk). uint16 at 3.9 mm resolution (σ≈1.1 mm, ~20× below lidar
+# noise) halves the bytes; validity travels as one count per frame instead of
+# a (N,) bool plane (points arrive front-packed from the loader).
+QUANT_SCALE = 256.0 / 65536.0     # 3.9 mm over ±128 m (max_range is 120 m)
+QUANT_OFFSET = -128.0
+
+
+def quantize_scan(pts, capacity: int):
+    """Host-side: (n, ≥3) float scan → ((capacity, 3) uint16, count)."""
+    import numpy as np
+
+    n = min(pts.shape[0], capacity)
+    out = np.empty((capacity, 3), np.uint16)
+    q = np.clip(
+        (pts[:n, :3].astype(np.float32) - QUANT_OFFSET) / QUANT_SCALE,
+        0.0, 65535.0,
+    )
+    out[:n] = (q + 0.5).astype(np.uint16)
+    return out, np.int32(n)
+
+
+@partial(jax.jit, static_argnames=("lidar_cfg", "odom_cfg"))
+def odometry_chunk_quantized(
+    state: OdometryState,
+    qpts: jax.Array,      # (K, N, 3) uint16
+    counts: jax.Array,    # (K,) int32 — points per frame (front-packed)
+    lidar_cfg,
+    odom_cfg: OdometryConfig,
+) -> tuple[OdometryState, se3.Pose]:
+    """odometry_chunk over quantized scans: dequantize on device, mask from
+    counts. Padding garbage beyond count is masked before any use."""
+    from .scan_registration import register_scan_impl
+
+    idx = jnp.arange(qpts.shape[1], dtype=jnp.int32)
+
+    def step(state, frame):
+        qp, n = frame
+        xyz = qp.astype(jnp.float32) * QUANT_SCALE + QUANT_OFFSET
+        mask = idx < n
+        feats = register_scan_impl(xyz, mask, lidar_cfg).features
+        state, pose_w = odometry_step(state, feats, odom_cfg)
+        return state, pose_w
+
+    return jax.lax.scan(step, state, (qpts, counts))
+
+
 @partial(jax.jit, static_argnames=("lidar_cfg", "odom_cfg"))
 def odometry_chunk(
     state: OdometryState,

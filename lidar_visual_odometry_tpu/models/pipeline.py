@@ -67,11 +67,19 @@ class OdometryPipeline:
             print(f"{len(scans)} frames in {wall:.2f}s → {len(scans)/wall:.1f} fps")
         return TrajectoryResult(ts, qs, per_frame_s=[wall / len(scans)] * len(scans))
 
-    def run_chunked(self, scans, chunk: int = 8, progress: bool = False) -> TrajectoryResult:
+    def run_chunked(
+        self, scans, chunk: int = 8, progress: bool = False,
+        quantize: bool = False,
+    ) -> TrajectoryResult:
         """Batch-process the sequence in K-frame device programs
         (lidar_odometry.odometry_chunk): one dispatch per chunk instead of
         2-3 per frame — the fast path when scans are available in advance
-        (dataset eval / benchmark) or arrive in bursts."""
+        (dataset eval / benchmark) or arrive in bursts.
+
+        quantize=True uploads scans as uint16 at 3.9 mm resolution with
+        per-frame counts (half the bytes of float32 + mask planes) — the
+        transfer-bound deployment mode; see lidar_odometry.quantize_scan.
+        """
         import time
 
         import jax
@@ -84,20 +92,40 @@ class OdometryPipeline:
         state = lo.init_state(reg0.features)
 
         t0 = time.time()
-        chunks_q, chunks_t = [], []
+        # stage 1: pack + enqueue ALL H2D transfers up front so DMA can
+        # overlap with compute (a serial pack→transfer→compute loop loses the
+        # full transfer latency per chunk on the tunneled TPU)
+        device_chunks = []
         for s in range(1, len(scans), chunk):
             batch = scans[s:s + chunk]
-            stacked = np.zeros((len(batch), self.capacity, 3), np.float32)
-            masks = np.zeros((len(batch), self.capacity), bool)
-            for i, pts in enumerate(batch):
-                stacked[i], masks[i] = pc.pad_points(np.asarray(pts)[:, :3], self.capacity)
-            state, poses = lo.odometry_chunk(
-                state, jnp.asarray(stacked), jnp.asarray(masks),
-                self.cfg.lidar, self.cfg.odometry,
+            if quantize:
+                qs = np.empty((len(batch), self.capacity, 3), np.uint16)
+                counts = np.empty((len(batch),), np.int32)
+                for i, pts in enumerate(batch):
+                    qs[i], counts[i] = lo.quantize_scan(
+                        np.asarray(pts), self.capacity
+                    )
+                device_chunks.append((jnp.asarray(qs), jnp.asarray(counts)))
+            else:
+                stacked = np.zeros((len(batch), self.capacity, 3), np.float32)
+                masks = np.zeros((len(batch), self.capacity), bool)
+                for i, pts in enumerate(batch):
+                    stacked[i], masks[i] = pc.pad_points(
+                        np.asarray(pts)[:, :3], self.capacity
+                    )
+                device_chunks.append((jnp.asarray(stacked), jnp.asarray(masks)))
+
+        # stage 2: one device program per chunk, all dispatched asynchronously
+        chunks_q, chunks_t = [], []
+        step = lo.odometry_chunk_quantized if quantize else lo.odometry_chunk
+        for dstacked, dmasks in device_chunks:
+            state, poses = step(
+                state, dstacked, dmasks, self.cfg.lidar, self.cfg.odometry,
             )
             chunks_q.append(poses.q)
             chunks_t.append(poses.t)
         jax.block_until_ready(chunks_t[-1])
+        np.asarray(chunks_t[-1])  # axon: block_until_ready alone doesn't drain
         wall = time.time() - t0
 
         n = len(scans)

@@ -26,7 +26,7 @@ class RegisteredScan(NamedTuple):
 def register_scan_impl(
     points: jax.Array, mask: jax.Array, cfg: LidarConfig
 ) -> RegisteredScan:
-    ri = pc.build_range_image(
+    cs = pc.build_compact_scan(
         points,
         mask,
         n_scans=cfg.n_scans,
@@ -34,7 +34,6 @@ def register_scan_impl(
         min_range=cfg.min_range,
         max_range=cfg.max_range,
     )
-    cs = pc.compact_rings(ri)
     feats = F.extract_features(
         cs,
         n_sectors=cfg.n_sectors,

@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .pointcloud import CompactScan, voxel_downsample
+from .pointcloud import CompactScan, voxel_downsample_batched
 
 
 class FeatureCloud(NamedTuple):
@@ -212,11 +212,9 @@ def extract_features(
     # less-flat: everything not labeled a corner (labels ≤ 0 include flats,
     # scanRegistration.cpp:391-398), voxel-downsampled per ring.
     lf_mask = cs.valid & ~corner_label
-    ds = jax.vmap(
-        lambda p, m: voxel_downsample(
-            p, m, leaf=surf_leaf, max_out=max_less_flat_per_ring
-        )
-    )(cs.xyz, lf_mask)
+    ds = voxel_downsample_batched(
+        cs.xyz, lf_mask, leaf=surf_leaf, max_out=max_less_flat_per_ring
+    )
     lf_ring = jnp.broadcast_to(
         jnp.arange(R, dtype=jnp.int32)[:, None], (R, max_less_flat_per_ring)
     )

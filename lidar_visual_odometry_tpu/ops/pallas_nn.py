@@ -127,7 +127,8 @@ def _ring_top2_call(q_xyz, c_blocks_baked, interpret):
     )(q_xyz, c_blocks_baked)
 
 
-def _assoc_kernel(nearby_scan, q_ref, c_ref, out_ref, d1s, d2s, c1s, c2s):
+def _assoc_kernel(nearby_scan, q_ref, c_ref, out_ref,
+                  d1s, d2s, c1xs, c1ys, c1zs, c2xs, c2ys, c2zs):
     """Full ring-structured association for one query tile.
 
     Loops rings in-kernel (per-ring top-2 + coordinates into VMEM scratch),
@@ -135,56 +136,59 @@ def _assoc_kernel(nearby_scan, q_ref, c_ref, out_ref, d1s, d2s, c1s, c2s):
     same-ring runner-up, and the nearest within ±nearby_scan rings of r0 —
     everything the edge and plane associators need, in one launch.
 
-    out (QT, 16): [c1r0(3) | c2r0(3) | c1rw(3) | d0 | d2same | dw | 0…].
+    Every operand is layout-native (this kernel's first version spent ~90% of
+    its time in Mosaic sublane↔lane transposes): queries arrive planar
+    (3, QT) so components are lane-rows; distances live as (B, QT) with
+    candidates on the *sublane* axis, so per-ring reductions produce lane-rows
+    that store straight into the (R, QT) scratch rows; the cross-ring phase
+    reduces over R sublanes; the output is planar (16, QT) row writes.
+
+    out rows: [0:3 c1r0 | 3:6 c2r0 | 6:9 c1rw | 9 d0 | 10 d2same | 11 dw | pad].
     """
-    q = q_ref[:]                         # (QT, 3)
-    QT = q.shape[0]
+    qx = q_ref[0:1, :]                   # (1, QT)
+    qy = q_ref[1:2, :]
+    qz = q_ref[2:3, :]
+    QT = q_ref.shape[1]
     R = c_ref.shape[0]
     B = c_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (QT, B), 1)
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (B, QT), 0)
 
     def per_ring(r, _):
         c = c_ref[pl.ds(r, 1)][0]        # (B, 3)
-        dx = q[:, 0:1] - c[:, 0][None, :]
-        dy = q[:, 1:2] - c[:, 1][None, :]
-        dz = q[:, 2:3] - c[:, 2][None, :]
+        cx = c[:, 0:1]                   # (B, 1)
+        cy = c[:, 1:2]
+        cz = c[:, 2:3]
+        dx = cx - qx                     # (B, QT)
+        dy = cy - qy
+        dz = cz - qz
         d = dx * dx + dy * dy + dz * dz
-        i1 = jnp.argmin(d, axis=1)
-        d1 = jnp.min(d, axis=1)
-        d_rest = jnp.where(col == i1[:, None], 1e30, d)
-        i2 = jnp.argmin(d_rest, axis=1)
-        d2 = jnp.min(d_rest, axis=1)
-        oh1 = (col == i1[:, None]).astype(jnp.float32)
-        oh2 = (col == i2[:, None]).astype(jnp.float32)
-        c1 = jnp.stack([
-            jnp.sum(oh1 * c[:, 0][None, :], axis=1),
-            jnp.sum(oh1 * c[:, 1][None, :], axis=1),
-            jnp.sum(oh1 * c[:, 2][None, :], axis=1),
-        ], axis=-1)
-        c2 = jnp.stack([
-            jnp.sum(oh2 * c[:, 0][None, :], axis=1),
-            jnp.sum(oh2 * c[:, 1][None, :], axis=1),
-            jnp.sum(oh2 * c[:, 2][None, :], axis=1),
-        ], axis=-1)
-        # scratch is (R, QT[, 3]): dynamic ring index on the leading dim
-        # (lane-dim dynamic indices must be 128-aligned in Mosaic)
+        i1 = jnp.argmin(d, axis=0)       # (QT,) lane-rows
+        d1 = jnp.min(d, axis=0)
+        hit1 = rows_b == i1[None, :]
+        oh1 = hit1.astype(jnp.float32)
+        d_rest = jnp.where(hit1, 1e30, d)
+        i2 = jnp.argmin(d_rest, axis=0)
+        d2 = jnp.min(d_rest, axis=0)
+        oh2 = (rows_b == i2[None, :]).astype(jnp.float32)
+
         d1s[pl.ds(r, 1), :] = d1[None, :]
         d2s[pl.ds(r, 1), :] = d2[None, :]
-        c1s[pl.ds(r, 1)] = c1[None]
-        c2s[pl.ds(r, 1)] = c2[None]
+        c1xs[pl.ds(r, 1), :] = jnp.sum(oh1 * cx, axis=0)[None, :]
+        c1ys[pl.ds(r, 1), :] = jnp.sum(oh1 * cy, axis=0)[None, :]
+        c1zs[pl.ds(r, 1), :] = jnp.sum(oh1 * cz, axis=0)[None, :]
+        c2xs[pl.ds(r, 1), :] = jnp.sum(oh2 * cx, axis=0)[None, :]
+        c2ys[pl.ds(r, 1), :] = jnp.sum(oh2 * cy, axis=0)[None, :]
+        c2zs[pl.ds(r, 1), :] = jnp.sum(oh2 * cz, axis=0)[None, :]
         return 0
 
     jax.lax.fori_loop(0, R, per_ring, 0)
 
-    # selection in (R, QT) layout: ring reductions run over the sublane axis
+    # cross-ring selection in (R, QT) layout: reductions over the sublane axis
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, QT), 0)
     d1_all = d1s[:]
     r0 = jnp.argmin(d1_all, axis=0)                         # (QT,)
     d0 = jnp.min(d1_all, axis=0)
     oh0 = (rows == r0[None, :]).astype(jnp.float32)
-    # broadcast-multiply-reduce (Mosaic cannot lower batched einsum dots)
-    c1r0 = jnp.sum(oh0[:, :, None] * c1s[:], axis=0)        # (QT, 3)
-    c2r0 = jnp.sum(oh0[:, :, None] * c2s[:], axis=0)
     d2same = jnp.sum(oh0 * d2s[:], axis=0)
 
     rdiff = jnp.abs(rows.astype(jnp.float32) - r0[None, :].astype(jnp.float32))
@@ -193,14 +197,20 @@ def _assoc_kernel(nearby_scan, q_ref, c_ref, out_ref, d1s, d2s, c1s, c2s):
     rw = jnp.argmin(d1w, axis=0)
     dw = jnp.min(d1w, axis=0)
     ohw = (rows == rw[None, :]).astype(jnp.float32) * win.astype(jnp.float32)
-    c1rw = jnp.sum(ohw[:, :, None] * c1s[:], axis=0)
 
-    pad = jnp.zeros((QT, 4), jnp.float32)
-    out_ref[:] = jnp.concatenate(
-        [c1r0, c2r0, c1rw,
-         d0[:, None], d2same[:, None], dw[:, None], pad],
-        axis=-1,
-    )
+    out_ref[0:1, :] = jnp.sum(oh0 * c1xs[:], axis=0)[None, :]
+    out_ref[1:2, :] = jnp.sum(oh0 * c1ys[:], axis=0)[None, :]
+    out_ref[2:3, :] = jnp.sum(oh0 * c1zs[:], axis=0)[None, :]
+    out_ref[3:4, :] = jnp.sum(oh0 * c2xs[:], axis=0)[None, :]
+    out_ref[4:5, :] = jnp.sum(oh0 * c2ys[:], axis=0)[None, :]
+    out_ref[5:6, :] = jnp.sum(oh0 * c2zs[:], axis=0)[None, :]
+    out_ref[6:7, :] = jnp.sum(ohw * c1xs[:], axis=0)[None, :]
+    out_ref[7:8, :] = jnp.sum(ohw * c1ys[:], axis=0)[None, :]
+    out_ref[8:9, :] = jnp.sum(ohw * c1zs[:], axis=0)[None, :]
+    out_ref[9:10, :] = d0[None, :]
+    out_ref[10:11, :] = d2same[None, :]
+    out_ref[11:12, :] = dw[None, :]
+    out_ref[12:16, :] = jnp.zeros((4, QT), jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("nearby_scan", "q_tile", "interpret"))
@@ -209,7 +219,7 @@ def associate_kernel(
     c_blocks_baked: jax.Array,
     *,
     nearby_scan: float = 2.5,
-    q_tile: int = 128,
+    q_tile: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """One-launch association: returns (Q, 16) rows
@@ -220,23 +230,19 @@ def associate_kernel(
     qt = q_tile
     while Q % qt:
         qt //= 2
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_assoc_kernel, nearby_scan),
         grid=(Q // qt,),
         in_specs=[
-            pl.BlockSpec((qt, 3), lambda qi: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, qt), lambda qi: (0, qi), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, B, 3), lambda qi: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((qt, 16), lambda qi: (qi, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Q, 16), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((R, qt), jnp.float32),
-            pltpu.VMEM((R, qt), jnp.float32),
-            pltpu.VMEM((R, qt, 3), jnp.float32),
-            pltpu.VMEM((R, qt, 3), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((16, qt), lambda qi: (0, qi), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, Q), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R, qt), jnp.float32)] * 8,
         interpret=interpret,
-    )(q_xyz, c_blocks_baked)
+    )(q_xyz.T, c_blocks_baked)
+    return out.T
 
 
 def _block_topk_kernel(k, n_cchunks, q_ref, c_ref, d_out, c_out,

@@ -140,6 +140,88 @@ def build_range_image(
     return RangeImage(xyz_img, valid_img, rel_time)
 
 
+def build_compact_scan(
+    points: jax.Array,
+    mask: jax.Array,
+    *,
+    n_scans: int,
+    width: int,
+    min_range: float,
+    max_range: float = 1e9,
+) -> CompactScan:
+    """Raw (N, 3) cloud → front-compacted (rings, W) scan, one fused pass.
+
+    Functionally ``compact_rings(build_range_image(...))`` but TPU-shaped:
+    the scatter-min / argsort / take_along_axis chain of the two-step path
+    lowers to ~12 ms of serialized 131k-element gather/scatter fusions per
+    frame; this version carries the point data *through* one multi-key
+    ``lax.sort`` (sorts are fast on TPU — bitonic, fully vectorized) and ends
+    with a single collision-free scatter into the (R, W) grid.
+
+    Steps:
+      1. ring id / azimuth column / validity — elementwise
+         (``scanRegistration.cpp:160-241`` semantics, nearest return wins a
+         (ring, col) cell),
+      2. one stable 5-operand sort by (cell key, range²): each cell's winner
+         becomes the first point of its key run; winners are ring-major,
+         azimuth-ordered — exactly compacted scan order,
+      3. within-ring destination = winner rank − ring start (one-hot reduce,
+         no gathers), then one scatter-set of the winner rows.
+    """
+    x, y = points[..., 0], points[..., 1]
+    rng_sq = jnp.sum(points * points, axis=-1)
+    ring, in_fov = ring_index_hdl(points, n_scans)
+    ok = (
+        mask
+        & in_fov
+        & (rng_sq > min_range * min_range)
+        & (rng_sq < max_range * max_range)
+        & jnp.all(jnp.isfinite(points), axis=-1)
+    )
+    ori = -jnp.arctan2(y, x)
+    col = jnp.floor((ori + jnp.pi) / (2.0 * jnp.pi) * width).astype(jnp.int32)
+    col = jnp.clip(col, 0, width - 1)
+    ring_c = jnp.clip(ring, 0, n_scans - 1)
+    sentinel = n_scans * width
+    key = jnp.where(ok, ring_c * width + col, sentinel)
+
+    key_s, _, xs, ys, zs = jax.lax.sort(
+        (key, rng_sq, points[..., 0], points[..., 1], points[..., 2]),
+        num_keys=2,
+        is_stable=True,
+    )
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]
+    )
+    winner = first & (key_s < sentinel)
+    ring_s = key_s // width
+
+    rings_iota = jnp.arange(n_scans, dtype=jnp.int32)
+    onehot = (ring_s[:, None] == rings_iota[None, :]) & winner[:, None]
+    count = jnp.sum(onehot, axis=0, dtype=jnp.int32)           # (R,)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(count)[:-1]]
+    )
+    # start of my ring, per point — one-hot reduce instead of a gather
+    start_pp = jnp.sum(
+        onehot.astype(jnp.float32) * starts.astype(jnp.float32)[None, :],
+        axis=1,
+    ).astype(jnp.int32)
+    wrank = jnp.cumsum(winner.astype(jnp.int32)) - 1
+    pos = wrank - start_pp
+    dst = jnp.where(winner & (pos < width), ring_s * width + pos, sentinel)
+
+    rel = (jnp.asarray(key_s % width, jnp.float32) + 0.5) / width
+    rows = jnp.stack([xs, ys, zs, rel], axis=-1)
+    grid = jnp.zeros((sentinel + 1, 4), dtype=points.dtype).at[dst].set(
+        jnp.where(winner[:, None], rows, 0.0)
+    )
+    grid = grid[:sentinel].reshape(n_scans, width, 4)
+    idx = jnp.arange(width, dtype=jnp.int32)[None, :]
+    valid = idx < count[:, None]
+    return CompactScan(grid[..., :3], valid, grid[..., 3], count)
+
+
 def compact_rings(ri: RangeImage) -> CompactScan:
     """Shift valid cells to the front of each ring row, preserving scan order.
 
@@ -190,15 +272,15 @@ def voxel_downsample(
     kxy = jnp.where(mask, q[:, 0] * 2048 + q[:, 1], jnp.int32(2**31 - 1))
     kz = q[:, 2]
 
-    # Stable lexicographic sort: minor key first, then major key.
-    o1 = jnp.argsort(kz, stable=True)
-    o2 = jnp.argsort(kxy[o1], stable=True)
-    order = o1[o2]
-
-    kxy_s = kxy[order]
-    kz_s = kz[order]
-    xyz_s = xyz[order]
-    mask_s = mask[order]
+    # One stable two-key sort carrying the point data (argsort+gather chains
+    # lower to slow serialized gathers on TPU; data-carrying sorts are fast).
+    kxy_s, kz_s, xs, ys, zs, mask_i = jax.lax.sort(
+        (kxy, kz, xyz[:, 0], xyz[:, 1], xyz[:, 2], mask.astype(jnp.int32)),
+        num_keys=2,
+        is_stable=True,
+    )
+    xyz_s = jnp.stack([xs, ys, zs], axis=-1)
+    mask_s = mask_i.astype(bool)
 
     is_start = jnp.concatenate(
         [
@@ -219,6 +301,64 @@ def voxel_downsample(
 
     out_mask = cnts[:max_out] > 0
     out_xyz = sums[:max_out] / jnp.maximum(cnts[:max_out, None], 1.0)
+    return PointBatch(out_xyz, out_mask)
+
+
+def voxel_downsample_batched(
+    xyz: jax.Array,      # (R, W, 3)
+    mask: jax.Array,     # (R, W)
+    *,
+    leaf: float,
+    max_out: int,
+    origin: float | None = None,
+) -> PointBatch:
+    """Per-row voxel-grid filter: ``voxel_downsample`` vmapped over rows, but
+    with the segment reduction as one batched Pallas one-hot contraction on
+    TPU (the XLA scatter-add serializes — ~2.4 ms/frame for the 64-ring
+    less-flat filter; the MXU form is ~20×). Returns a batched PointBatch
+    ((R, max_out, 3), (R, max_out))."""
+    R, W = mask.shape
+    if origin is None:
+        origin = -1024.0 * leaf
+    q = jnp.clip(jnp.floor((xyz - origin) / leaf).astype(jnp.int32), 0, 2047)
+    kxy = jnp.where(mask, q[..., 0] * 2048 + q[..., 1], jnp.int32(2**31 - 1))
+    kz = q[..., 2]
+    kxy_s, kz_s, xs, ys, zs, m_i = jax.lax.sort(
+        (kxy, kz, xyz[..., 0], xyz[..., 1], xyz[..., 2],
+         mask.astype(jnp.int32)),
+        num_keys=2, is_stable=True, dimension=1,
+    )
+    mask_s = m_i.astype(bool)
+    is_start = jnp.concatenate(
+        [
+            jnp.ones((R, 1), bool),
+            (kxy_s[:, 1:] != kxy_s[:, :-1]) | (kz_s[:, 1:] != kz_s[:, :-1]),
+        ],
+        axis=1,
+    ) & mask_s
+    run_id = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+    run_id = jnp.where(mask_s, jnp.minimum(run_id, max_out), max_out)
+
+    mf = mask_s.astype(jnp.float32)
+    if jax.default_backend() == "tpu":
+        from . import pallas_segsum
+
+        vals = jnp.stack([xs, ys, zs, mf], axis=1)           # (R, 4, W)
+        sums = pallas_segsum.segment_sum_batched(
+            run_id, vals, n_segments=max_out + 1
+        )                                                    # (R, 4, max_out+1)
+        sum_xyz = sums[:, :3, :max_out].transpose(0, 2, 1)
+        cnts = sums[:, 3, :max_out]
+    else:
+        vals = jnp.stack([xs, ys, zs, mf], axis=-1)          # (R, W, 4)
+        acc = jnp.zeros((R, max_out + 1, 4), jnp.float32).at[
+            jnp.arange(R)[:, None], run_id
+        ].add(jnp.where(mask_s[..., None], vals, 0.0))
+        sum_xyz = acc[:, :max_out, :3]
+        cnts = acc[:, :max_out, 3]
+
+    out_mask = cnts > 0
+    out_xyz = sum_xyz / jnp.maximum(cnts[..., None], 1.0)
     return PointBatch(out_xyz, out_mask)
 
 

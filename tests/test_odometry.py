@@ -219,6 +219,22 @@ class TestChunkedPipeline:
         b = OdometryPipeline(cfg).run_chunked(scans, chunk=3)
         np.testing.assert_allclose(a.positions, b.positions, atol=1e-4)
 
+    def test_quantized_chunk_close_to_float(self):
+        """uint16 transfer quantization (3.9 mm resolution) must not move the
+        trajectory beyond the noise floor."""
+        from lidar_visual_odometry_tpu.models.pipeline import OdometryPipeline
+        from lidar_visual_odometry_tpu.utils.config import SystemConfig
+
+        seq = synthetic.SyntheticSequence(n_frames=5, width=600, noise=0.005)
+        scans = [seq.scan(k) for k in range(4)]
+        cfg = SystemConfig(
+            lidar=LidarConfig(azimuth_bins=1024),
+            odometry=OdometryConfig(outer_iters=4, gn_iters=4),
+        )
+        a = OdometryPipeline(cfg).run_chunked(scans, chunk=3)
+        b = OdometryPipeline(cfg).run_chunked(scans, chunk=3, quantize=True)
+        np.testing.assert_allclose(a.positions, b.positions, atol=2e-2)
+
 
 class TestDeskew:
     def test_deskew_path_runs_and_converges(self):

@@ -150,3 +150,19 @@ def test_associate_kernel_matches_reference(rng):
     np.testing.assert_array_equal(valid_edge, np.asarray(ea.valid))
     valid_plane = (d0 < 25.0) & (d2s < 25.0) & (dw < 25.0)
     np.testing.assert_array_equal(valid_plane, np.asarray(pa.valid))
+
+
+def test_segment_sum_batched_matches_scatter(rng):
+    """Pallas one-hot segment-sum (interpret) vs a numpy scatter reference."""
+    from lidar_visual_odometry_tpu.ops import pallas_segsum
+
+    R, W, S = 6, 256, 130
+    seg = rng.integers(0, S, (R, W)).astype(np.int32)
+    vals = rng.normal(size=(R, 4, W)).astype(np.float32)
+    got = pallas_segsum.segment_sum_batched(
+        jnp.asarray(seg), jnp.asarray(vals), n_segments=S, interpret=True
+    )
+    want = np.zeros((R, 4, S), np.float32)
+    for r in range(R):
+        np.add.at(want[r].T, seg[r], vals[r].T)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)

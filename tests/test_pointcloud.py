@@ -96,6 +96,47 @@ class TestVoxelDownsample:
         assert int(np.asarray(out.mask).sum()) == 64
 
 
+class TestBuildCompactScan:
+    def test_matches_two_step_pipeline(self):
+        """The fused sort-based binning must reproduce
+        compact_rings(build_range_image(...)) exactly (same nearest-return
+        winners, same compacted order)."""
+        pts = make_scan()
+        xyz, mask = pc.pad_points(pts, 131072)
+        kw = dict(n_scans=64, width=1024, min_range=0.1)
+        old = pc.compact_rings(
+            pc.build_range_image(jnp.asarray(xyz), jnp.asarray(mask), **kw)
+        )
+        new = pc.build_compact_scan(jnp.asarray(xyz), jnp.asarray(mask), **kw)
+        np.testing.assert_array_equal(np.asarray(old.count), np.asarray(new.count))
+        np.testing.assert_array_equal(np.asarray(old.valid), np.asarray(new.valid))
+        v = np.asarray(old.valid)
+        np.testing.assert_array_equal(
+            np.asarray(old.xyz)[v], np.asarray(new.xyz)[v]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(old.rel_time)[v], np.asarray(new.rel_time)[v]
+        )
+
+
+class TestVoxelDownsampleBatched:
+    def test_matches_vmapped(self, rng):
+        import jax
+
+        xyz = rng.uniform(-20, 20, (8, 256, 3)).astype(np.float32)
+        mask = rng.random((8, 256)) < 0.8
+        got = pc.voxel_downsample_batched(
+            jnp.asarray(xyz), jnp.asarray(mask), leaf=0.7, max_out=128
+        )
+        want = jax.vmap(
+            lambda p, m: pc.voxel_downsample(p, m, leaf=0.7, max_out=128)
+        )(jnp.asarray(xyz), jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(got.mask), np.asarray(want.mask))
+        np.testing.assert_allclose(
+            np.asarray(got.xyz), np.asarray(want.xyz), atol=1e-5
+        )
+
+
 class TestSynthetic:
     def test_sequence_geometry(self):
         seq = synthetic.SyntheticSequence(n_frames=3, width=600, speed=1.0)
