@@ -76,6 +76,24 @@ def bilinear(img: jax.Array, uv: jax.Array) -> jax.Array:
     )
 
 
+def box_sum(img: jax.Array, k: int) -> jax.Array:
+    """k×k window sum with zero padding ('same') — two cumsum differences.
+
+    Exactly ``convolve2d(img, ones((k, k)), mode='same')`` but TPU-fast:
+    convolutions with 1-channel inputs lower poorly (im2col), while cumsums
+    are cheap log-step reduce-windows.
+    """
+    r = k // 2
+    p = jnp.pad(img, ((r, r), (0, 0)))
+    c = jnp.cumsum(p, axis=0)
+    c = jnp.concatenate([jnp.zeros_like(c[:1]), c], axis=0)
+    v = c[k:, :] - c[:-k, :]
+    p = jnp.pad(v, ((0, 0), (r, r)))
+    c = jnp.cumsum(p, axis=1)
+    c = jnp.concatenate([jnp.zeros_like(c[:, :1]), c], axis=1)
+    return c[:, k:] - c[:, :-k]
+
+
 def shi_tomasi_score(img: jax.Array, window: int = 3) -> jax.Array:
     """Min-eigenvalue corner score map (what cv::goodFeaturesToTrack ranks;
     monotone-equivalent to FAST response for selection purposes)."""
@@ -84,10 +102,8 @@ def shi_tomasi_score(img: jax.Array, window: int = 3) -> jax.Array:
     yy = gy * gy
     xy = gx * gy
 
-    k = jnp.ones((window, window), img.dtype) / (window * window)
-
     def box(a):
-        return jax.scipy.signal.convolve2d(a, k, mode="same")
+        return box_sum(a, window) / (window * window)
 
     sxx, syy, sxy = box(xx), box(yy), box(xy)
     tr = sxx + syy
@@ -132,17 +148,24 @@ def grid_select_features(
     yi = jnp.clip(occupied_uv[:, 1].astype(jnp.int32), 0, H - 1)
     occ = occ.at[yi, xi].max(occupied_mask)
     r = suppression_radius
-    k = jnp.ones((2 * r + 1, 2 * r + 1), jnp.float32)
-    occ_dil = (
-        jax.scipy.signal.convolve2d(occ.astype(jnp.float32), k, mode="same") > 0
-    )
+    occ_dil = box_sum(occ.astype(jnp.float32), 2 * r + 1) > 0
     s = jnp.where(occ_dil, -jnp.inf, score)
 
-    # per-cell top-k
+    # per-cell top-k as k masked-argmax sweeps (lax.top_k lowers to a full
+    # sort on TPU — ~400 ms on (168, 8k) cells; argmax is a plain reduce)
     cells = s[: ch * grid_rows, : cw * grid_cols].reshape(
         grid_rows, ch, grid_cols, cw
     ).transpose(0, 2, 1, 3).reshape(grid_rows * grid_cols, ch * cw)
-    vals, flat_idx = jax.lax.top_k(cells, per_cell)  # (cells, k)
+    cols_i = jnp.arange(cells.shape[1], dtype=jnp.int32)[None, :]
+    vlist, ilist = [], []
+    x = cells
+    for _ in range(per_cell):
+        i = jnp.argmax(x, axis=1)
+        vlist.append(jnp.take_along_axis(x, i[:, None], axis=1)[:, 0])
+        ilist.append(i)
+        x = jnp.where(cols_i == i[:, None], -jnp.inf, x)
+    vals = jnp.stack(vlist, axis=1)
+    flat_idx = jnp.stack(ilist, axis=1).astype(jnp.int32)  # (cells, k)
 
     cy = flat_idx // cw
     cx = flat_idx % cw

@@ -74,14 +74,24 @@ def track_pyramid(
     scale_top = 2.0 ** (levels - 1)
     d = jnp.zeros_like(uv0) / scale_top
     ok_all = jnp.ones(uv0.shape[0], bool)
+    on_tpu = jax.default_backend() == "tpu"
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
         img0 = pyr0[lvl]
         img1 = pyr1[lvl]
         gx, gy = gradients(img0)
-        d, ok = _track_level(
-            img0, img1, gx, gy, uv0 / s, d, win=win, iters=iters
-        )
+        if on_tpu and uv0.shape[0] % 8 == 0:
+            # gather-free Pallas kernel: pyramid level resident in VMEM,
+            # patches via aligned slices + rolls (ops/pallas_lk.py)
+            from . import pallas_lk
+
+            d, ok = pallas_lk.lk_level(
+                img0, img1, gx, gy, uv0 / s, d, win=win, iters=iters
+            )
+        else:
+            d, ok = _track_level(
+                img0, img1, gx, gy, uv0 / s, d, win=win, iters=iters
+            )
         ok_all = ok_all & ok
         if lvl > 0:
             d = d * 2.0

@@ -1,0 +1,139 @@
+"""Pallas TPU kernel: pyramidal inverse-compositional KLT, one level per launch.
+
+The vmapped-XLA formulation (ops/lk.py) gathers every bilinear sample through
+an arbitrary-index gather — TPUs serialize those (~2.7 s/frame for 1024
+features × 4 levels × 10 iterations, ``featureTracking.cpp:203-211``
+semantics). Here the whole pyramid level lives in VMEM and a patch sample is:
+
+  1. one 8-aligned dynamic sublane slice + one 128-aligned dynamic lane slice
+     (``pl.multiple_of`` alignment hints) → a (rows, 256) strip,
+  2. two dynamic ``pltpu.roll``s to put the window's integer corner at (0, 0),
+  3. static slices + fractional mixes for bilinear interpolation.
+
+No gathers anywhere. Each grid step tracks a block of FB features with a
+``fori_loop``; template gradients and the 2×2 inverse-compositional normal
+matrix are built in-kernel from the gradient images.
+
+Border behavior differs from ops/lk.py by design: the window *origin* clamps
+into the image (the XLA path clamps each sample), so features closer than
+win/2+1 px to a border may track differently — both paths gate them out via
+the in-bounds + reverse checks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lk_level_kernel(win, iters, H, W, fb,
+                     q_ref, i0_ref, i1_ref, gx_ref, gy_ref, out_ref):
+    Wpad = i0_ref.shape[1]
+    rows = ((win + 1 + 7) // 8 + 1) * 8      # strip rows: win+1 + ≤7 align
+    r = (win - 1) / 2.0
+
+    def sample(ref, xf, yf):
+        """Bilinear (win, win) patch with top-left corner at float (xf, yf)."""
+        xi = jnp.floor(xf).astype(jnp.int32)
+        yi = jnp.floor(yf).astype(jnp.int32)
+        fx = xf - xi.astype(jnp.float32)
+        fy = yf - yi.astype(jnp.float32)
+        xi = jnp.clip(xi, 0, W - win - 2)
+        yi = jnp.clip(yi, 0, H - win - 2)
+        ya = pl.multiple_of((yi // 8) * 8, 8)
+        xa = pl.multiple_of(
+            jnp.minimum((xi // 128) * 128, Wpad - 256), 128
+        )
+        s = ref[pl.ds(ya, rows), pl.ds(xa, 256)]
+        s = pltpu.roll(s, ya - yi, 0)
+        s = pltpu.roll(s, xa - xi, 1)
+        v = s[: win + 1, :]
+        v = v[:win, :] * (1.0 - fy) + v[1: win + 1, :] * fy
+        return v[:, :win] * (1.0 - fx) + v[:, 1: win + 1] * fx   # (win, win)
+
+    def per_feature(f, _):
+        x = q_ref[f, 0]
+        y = q_ref[f, 1]
+        dx0 = q_ref[f, 2]
+        dy0 = q_ref[f, 3]
+
+        tx = x - r
+        ty = y - r
+        t = sample(i0_ref, tx, ty)
+        jx = sample(gx_ref, tx, ty)
+        jy = sample(gy_ref, tx, ty)
+        a11 = jnp.sum(jx * jx)
+        a12 = jnp.sum(jx * jy)
+        a22 = jnp.sum(jy * jy)
+        det = a11 * a22 - a12 * a12
+        ok = det > 1e-9
+        inv_det = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-12), 0.0)
+
+        def body(i, d):
+            dx, dy = d
+            cur = sample(i1_ref, tx + dx, ty + dy)
+            e = cur - t
+            b1 = jnp.sum(e * jx)
+            b2 = jnp.sum(e * jy)
+            ddx = inv_det * (a22 * b1 - a12 * b2)
+            ddy = inv_det * (a11 * b2 - a12 * b1)
+            return (dx - ddx, dy - ddy)
+
+        dx, dy = jax.lax.fori_loop(0, iters, body, (dx0, dy0))
+        out_ref[f, 0] = dx
+        out_ref[f, 1] = dy
+        out_ref[f, 2] = ok.astype(jnp.float32)
+        out_ref[f, 3] = jnp.float32(0.0)
+        return 0
+
+    jax.lax.fori_loop(0, fb, per_feature, 0)
+
+
+@partial(jax.jit, static_argnames=("win", "iters", "fb", "interpret"))
+def lk_level(
+    img0: jax.Array,    # (H, W) float32
+    img1: jax.Array,
+    gx: jax.Array,      # template gradients (of img0)
+    gy: jax.Array,
+    uv0: jax.Array,     # (N, 2) feature centers in this level's pixels
+    guess: jax.Array,   # (N, 2) initial displacement
+    *,
+    win: int = 25,
+    iters: int = 10,
+    fb: int = 8,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Refined displacement + Hessian-ok flag for one pyramid level.
+
+    Returns (d (N, 2), ok (N,)). N must be a multiple of fb; images are
+    lane-padded internally.
+    """
+    H, W = img0.shape
+    N = uv0.shape[0]
+    assert N % fb == 0, (N, fb)
+    Wpad = max(-(-W // 128) * 128, 256)
+    pad = Wpad - W
+
+    def padw(a):
+        return jnp.pad(a, ((0, 0), (0, pad))) if pad else a
+
+    q = jnp.concatenate([uv0, guess], axis=-1).astype(jnp.float32)  # (N, 4)
+    out = pl.pallas_call(
+        partial(_lk_level_kernel, win, iters, H, W, fb),
+        grid=(N // fb,),
+        in_specs=[
+            pl.BlockSpec((fb, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, Wpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Wpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Wpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Wpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((fb, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 4), jnp.float32),
+        interpret=interpret,
+    )(q, padw(img0), padw(img1), padw(gx), padw(gy))
+    return out[:, :2], out[:, 2] > 0.5

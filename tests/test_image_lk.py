@@ -108,3 +108,56 @@ class TestLK:
         )
         err = np.linalg.norm(u1 - u1_gt, axis=1)[finite]
         assert np.median(err) < 0.5, np.median(err)
+
+
+class TestPallasLK:
+    def test_level_kernel_matches_xla(self, rng):
+        """Gather-free Pallas LK level (interpret) vs the vmapped XLA tracker
+        on interior features of a smooth textured pair with known shift."""
+        from lidar_visual_odometry_tpu.ops import pallas_lk
+        from lidar_visual_odometry_tpu.ops.image import gradients
+
+        H, W = 120, 300
+        base = rng.random((H + 10, W + 10)).astype(np.float32)
+
+        def box(a, k=5):
+            c = np.cumsum(np.pad(a, ((k, k), (0, 0))), axis=0)
+            a = (c[k:] - c[:-k])[: a.shape[0]] / k
+            c = np.cumsum(np.pad(a, ((0, 0), (k, k))), axis=1)
+            return (c[:, k:] - c[:, :-k])[:, : a.shape[1]] / k
+
+        sm = box(box(base)).astype(np.float32)
+        img0, img1 = sm[:H, :W], sm[3:H + 3, 2:W + 2]   # true shift (-2, -3)
+
+        N = 64
+        uv = np.stack(
+            [rng.uniform(20, W - 20, N), rng.uniform(20, H - 20, N)], -1
+        ).astype(np.float32)
+        gx, gy = gradients(jnp.asarray(img0))
+        zero = jnp.zeros((N, 2), jnp.float32)
+        d_ref, ok_ref = lk._track_level(
+            jnp.asarray(img0), jnp.asarray(img1), gx, gy,
+            jnp.asarray(uv), zero, win=15, iters=10,
+        )
+        d_ker, ok_ker = pallas_lk.lk_level(
+            jnp.asarray(img0), jnp.asarray(img1), gx, gy,
+            jnp.asarray(uv), zero, win=15, iters=10, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_ker))
+        np.testing.assert_allclose(
+            np.asarray(d_ker), np.asarray(d_ref), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_ker).mean(0), [-2.0, -3.0], atol=1e-3
+        )
+
+
+class TestBoxSum:
+    def test_matches_convolve2d(self, rng):
+        import jax.scipy.signal as jss
+
+        a = jnp.asarray(rng.random((48, 96)).astype(np.float32))
+        for k in (3, 5, 21):
+            want = jss.convolve2d(a, jnp.ones((k, k)), mode="same")
+            got = image.box_sum(a, k)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
