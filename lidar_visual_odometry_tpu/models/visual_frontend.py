@@ -460,6 +460,7 @@ def visual_step(
 
 
 _replenish_jit = jax.jit(_replenish, static_argnames=("cfg",))
+_clahe_jit = jax.jit(image.clahe, static_argnames=("grid", "clip_limit", "n_bins"))
 
 
 class VisualOdometry:
@@ -479,6 +480,10 @@ class VisualOdometry:
         self, img: jax.Array, pts_cam: jax.Array, pts_mask: jax.Array
     ) -> se3.Pose:
         """img (H, W) [0,1]; pts_cam: lidar points in the camera frame."""
+        if self.cfg.use_clahe:
+            img = _clahe_jit(
+                img, grid=self.cfg.clahe_grid, clip_limit=self.cfg.clahe_clip
+            )
         pyr = tuple(image.build_pyramid(img, self.cfg.lk_levels))
         dc = build_depth_cloud(pts_cam, pts_mask)
         if self.prev_pyr is None:

@@ -116,3 +116,27 @@ def undistort_points(cam: Pinhole, uv: jax.Array, iters: int = 5) -> jax.Array:
     return jnp.stack(
         [cam.fx * xn[..., 0] + cam.cx, cam.fy * xn[..., 1] + cam.cy], axis=-1
     )
+
+
+def undistort_rectify_map(cam: Pinhole) -> jax.Array:
+    """(H, W, 2) source-pixel lookup map for image undistortion
+    (≡ ``cv::initUndistortRectifyMap`` with new-K = K,
+    ``PinholeModel.cpp:27-28``): for each *undistorted* output pixel,
+    the distorted source location to sample. Compute once per camera.
+    """
+    ys = jnp.arange(cam.height, dtype=jnp.float32)
+    xs = jnp.arange(cam.width, dtype=jnp.float32)
+    u, v = jnp.meshgrid(xs, ys)
+    xn = jnp.stack([(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy], axis=-1)
+    xd = distort(cam, xn)
+    return jnp.stack(
+        [cam.fx * xd[..., 0] + cam.cx, cam.fy * xd[..., 1] + cam.cy], axis=-1
+    )
+
+
+def undistort_image(img: jax.Array, map_uv: jax.Array) -> jax.Array:
+    """Bilinear remap (≡ ``PinholeModel::undistort_image``,
+    ``PinholeModel.cpp:192-200``, i.e. ``cv::remap`` INTER_LINEAR)."""
+    from .image import bilinear
+
+    return bilinear(img, map_uv)

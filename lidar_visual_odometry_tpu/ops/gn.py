@@ -68,3 +68,85 @@ def gn_update_pose(pose: se3.Pose, delta: jax.Array) -> se3.Pose:
         se3.quat_normalize(se3.quat_mul(dq, pose.q)),
         pose.t + delta[..., :3],
     )
+
+
+def tdist_scale(
+    r: jax.Array,
+    mask: jax.Array,
+    *,
+    dof: float = 5.0,
+    init_sigma: float = 5.0,
+    iters: int = 10,
+) -> jax.Array:
+    """Student-t scale by fixed-point iteration (≡ the reference's
+    ``TDistributionScaleEstimator``, ``WeightFunction.cpp:20-78``):
+
+        σ² ← mean_i [ (ν+1)/(ν + (rᵢ/σ)²) · rᵢ² ]
+
+    iterated to convergence. The reference loops until |σ²−σ²_prev|<1e-6;
+    a fixed `iters` scan converges well past that on real residual sets
+    (contraction is geometric) and keeps the jaxpr static.
+    """
+    m = mask.astype(r.dtype)
+    n = jnp.maximum(m.sum(), 1.0)
+    r2 = r * r
+
+    def body(sigma2, _):
+        w = (dof + 1.0) / (dof + r2 / jnp.maximum(sigma2, 1e-12))
+        sigma2 = (w * r2 * m).sum() / n
+        return jnp.maximum(sigma2, 1e-12), None
+
+    sigma2, _ = jax.lax.scan(
+        body, jnp.asarray(init_sigma**2, r.dtype), None, length=iters
+    )
+    return jnp.sqrt(sigma2)
+
+
+def lm_optimize(build_system, update, apply_delta, x0, *, iters: int = 10,
+                tau: float = 1e-2):
+    """Levenberg-Marquardt with the ρ-gain trust-region schedule of the
+    reference's ``LSQNonlinearLevenbergMarquardt`` (``LSQNonlinear.hpp:84-194``):
+
+    * damping μ·diag(H), μ₀ = τ·max(diag H),
+    * gain ratio ρ = (χ²_old − χ²_new) / (δᵀ(μ·D·δ + g)),
+    * accept if ρ>0: μ ← μ·max(⅓, 1−(2ρ−1)³), ν ← 2,
+    * reject: revert x, μ ← μ·ν, ν ← 2ν.
+
+    ``build_system(x) -> (H, g, chi2)`` with the −g convention of
+    :func:`solve_damped`; ``update(x, δ) -> x_new``; ``apply_delta`` unused
+    hook kept for parity with GN drivers. Fixed `iters` via ``lax.scan``
+    (rejected steps consume an iteration, like any trust-region loop).
+    Returns (x, final chi²).
+    """
+    del apply_delta
+    H0, g0, chi0 = build_system(x0)
+    d = g0.shape[-1]
+    mu0 = tau * jnp.max(jnp.diagonal(H0))
+
+    def step(carry, _):
+        x, mu, nu, chi = carry
+        H, g, _ = build_system(x)
+        D = jnp.diagonal(H)
+        Hd = H + jnp.eye(d, dtype=H.dtype) * (mu * jnp.maximum(D, 1e-6))
+        L = jnp.linalg.cholesky(Hd)
+        delta = jax.scipy.linalg.cho_solve((L, True), -g)
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
+        x_new = update(x, delta)
+        _, _, chi_new = build_system(x_new)
+        # predicted decrease ½δᵀ(μDδ − g); reference LSQNonlinear.hpp:141-147
+        pred = 0.5 * jnp.dot(delta, mu * jnp.maximum(D, 1e-6) * delta - g)
+        rho = (chi - chi_new) / jnp.maximum(pred, 1e-12)
+        accept = rho > 0.0
+        mu_acc = mu * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        x = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), x_new, x
+        )
+        chi = jnp.where(accept, chi_new, chi)
+        mu = jnp.where(accept, mu_acc, mu * nu)
+        nu = jnp.where(accept, 2.0, 2.0 * nu)
+        return (x, mu, nu, chi), None
+
+    (x, _, _, chi), _ = jax.lax.scan(
+        step, (x0, mu0, jnp.asarray(2.0, g0.dtype), chi0), None, length=iters
+    )
+    return x, chi

@@ -113,10 +113,89 @@ def shi_tomasi_score(img: jax.Array, window: int = 3) -> jax.Array:
 
 
 def normalize_contrast(img: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """Zero-mean/unit-std luminance normalization (CLAHE stand-in)."""
+    """Zero-mean/unit-std luminance normalization (cheap CLAHE stand-in)."""
     mu = img.mean()
     sd = img.std()
     return (img - mu) / jnp.maximum(sd, eps)
+
+
+def clahe(
+    img: jax.Array,
+    *,
+    grid: tuple[int, int] = (8, 8),
+    clip_limit: float = 3.0,
+    n_bins: int = 256,
+) -> jax.Array:
+    """Contrast-limited adaptive histogram equalization
+    (≡ ``cv::createCLAHE(3.0, (8, 8))`` at ``featureTracking.cpp:92-95``).
+
+    Standard CLAHE: per-tile clipped histogram → equalization LUT, pixels
+    remapped by bilinear interpolation between the 4 surrounding tile LUTs.
+    Clipped excess is redistributed uniformly in one pass (OpenCV adds a
+    residual-redistribution loop whose effect is < 1 gray level).
+
+    Input (H, W) float in [0, 1]; output same. The histogram is one
+    scatter-add over all pixels — fine at per-frame rates.
+    """
+    H, W = img.shape
+    gr, gc = grid
+    th = -(-H // gr)  # ceil
+    tw = -(-W // gc)
+    pad = ((0, gr * th - H), (0, gc * tw - W))
+    x = jnp.pad(img, pad, mode="edge")
+
+    b = jnp.clip(
+        jnp.round(x * (n_bins - 1)).astype(jnp.int32), 0, n_bins - 1
+    )
+    tiles = b.reshape(gr, th, gc, tw).transpose(0, 2, 1, 3).reshape(
+        gr * gc, th * tw
+    )
+    tile_ids = jnp.arange(gr * gc, dtype=jnp.int32)[:, None]
+    flat = (tile_ids * n_bins + tiles).reshape(-1)
+    hist = (
+        jnp.zeros((gr * gc * n_bins,), jnp.float32)
+        .at[flat].add(1.0)
+        .reshape(gr * gc, n_bins)
+    )
+
+    area = float(th * tw)
+    cl = jnp.maximum(clip_limit * area / n_bins, 1.0)
+    excess = jnp.maximum(hist - cl, 0.0).sum(axis=1, keepdims=True)
+    hist = jnp.minimum(hist, cl) + excess / n_bins
+
+    cdf = jnp.cumsum(hist, axis=1)
+    lut = jnp.clip(cdf * ((n_bins - 1) / area), 0.0, n_bins - 1.0)
+
+    # bilinear blend between the 4 nearest tile LUTs (tile centers at
+    # (i+0.5)·tile − 0.5 in padded coords)
+    Hp, Wp = x.shape
+    yy = (jnp.arange(Hp, dtype=jnp.float32) + 0.5) / th - 0.5
+    xx = (jnp.arange(Wp, dtype=jnp.float32) + 0.5) / tw - 0.5
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, gr - 1)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, gc - 1)
+    y1 = jnp.minimum(y0 + 1, gr - 1)
+    x1 = jnp.minimum(x0 + 1, gc - 1)
+    fy = jnp.clip(yy - jnp.floor(yy), 0.0, 1.0)[:, None]
+    fx = jnp.clip(xx - jnp.floor(xx), 0.0, 1.0)[None, :]
+    # out-of-range pixels (beyond first/last tile center) stick to the edge LUT
+    fy = jnp.where((yy < 0)[:, None] | (yy > gr - 1)[:, None], jnp.round(fy), fy)
+    fx = jnp.where((xx < 0)[None, :] | (xx > gc - 1)[None, :], jnp.round(fx), fx)
+
+    def sample(ti_y, ti_x):
+        tid = ti_y[:, None] * gc + ti_x[None, :]
+        return lut[tid, b]
+
+    v00 = sample(y0, x0)
+    v01 = sample(y0, x1)
+    v10 = sample(y1, x0)
+    v11 = sample(y1, x1)
+    out = (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    ) / (n_bins - 1)
+    return out[:H, :W]
 
 
 def grid_select_features(

@@ -91,6 +91,13 @@ class MappingConfig:
     max_surf_map_local: int = 32768
     cube_capacity: int = 4096         # max points stored per 50 m cube, per class
     submap_radius: tuple = (2, 2, 1)  # 5x5x3 neighborhood (laserMapping.cpp:515-519)
+    # device-resident submap (models/device_mapping.py): ring buffer of the
+    # last `submap_frames` frames' leaf-downsampled features — the TPU-native
+    # local map (no per-frame host↔device submap transfer). Slots are padded
+    # per-frame budgets; totals must stay multiples of 512 (Pallas c_tile).
+    submap_frames: int = 16
+    corner_slot: int = 2048
+    surf_slot: int = 4096
 
 
 @dataclass(frozen=True)
@@ -133,6 +140,11 @@ class VisualConfig:
     keyframe_window: int = 5          # KeyframeWindow size (Frontend.cpp:54)
     patch_pattern: str = "quad"       # 4-px pattern {(1,-1),(1,1),(-1,-1),(-1,1)} (Tracker2.h:41-44)
     tdist_dof: float = 5.0            # t-distribution nu (WeightFunction.cpp:91-95)
+    use_clahe: bool = False           # CLAHE prep (featureTracking.cpp:92-95);
+                                      # on for real camera imagery (kitti_config),
+                                      # off for synthetic renders (already uniform)
+    clahe_clip: float = 3.0           # cv::createCLAHE(3.0, (8, 8))
+    clahe_grid: tuple = (8, 8)
 
 
 @dataclass(frozen=True)
@@ -168,4 +180,8 @@ def kitti_config(sequence: int = 0, n_scans: int = 64) -> SystemConfig:
         cam = CameraConfig(fx=721.5377, fy=721.5377, cx=609.5593, cy=172.854)
     else:
         cam = CameraConfig(fx=707.0912, fy=707.0912, cx=601.8873, cy=183.1104)
-    return SystemConfig(lidar=LidarConfig(n_scans=n_scans), camera=cam)
+    return SystemConfig(
+        lidar=LidarConfig(n_scans=n_scans),
+        camera=cam,
+        visual=VisualConfig(use_clahe=True),
+    )
