@@ -1,0 +1,210 @@
+"""Device-resident scan-to-map refinement (TPU-optimized ≡ laserMapping).
+
+The host-cube-map driver (``lidar_mapping.LidarMapping``) is faithful to the
+reference's unbounded 21×21×11 cube store (``laserMapping.cpp:74-104``) but
+pays a per-frame host→device transfer of the gathered submap (~0.6 MB ≈ 60 ms
+over the tunneled-TPU link) plus a host sync for cube bookkeeping. This module
+keeps the *local* map on device instead, so the whole mapping stage is one
+jitted program per frame with zero extra transfers:
+
+* **Map = ring buffer of frame slabs.** State is ``(F, slot, 3)`` world-frame
+  tensors per feature class: each processed frame voxel-downsamples its
+  features at the mapping leaf (laserMapping.cpp:542-550), solves, transforms
+  them by the refined pose, and overwrites the oldest slab
+  (``lax.dynamic_update_slice`` at a rolling cursor). Bounded memory and
+  recency-eviction replace the reference's cube recentering
+  (``laserMapping.cpp:323-507``): the 5×5×3 neighborhood it gathers is in
+  practice the last few seconds of scans — exactly what the ring holds.
+* **Solve** is the shared scan-to-map GN core (``lidar_mapping.solve_map_pose``:
+  Pallas 5-NN streaming top-k, closed-form line/plane fits, Huber GN), against
+  the flattened ring as the candidate cloud.
+* **Correction chain** ``wmap_T_odom`` (``laserMapping.cpp:142-152``) lives in
+  the carried state, so skipped frames (mapping_skip_frame) compose entirely
+  on device too.
+
+The host ``CubeMap`` archive remains available for checkpoints/export; it can
+be fed asynchronously from the same (features, pose) stream without stalling
+this path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import se3
+from ..ops.features import ScanFeatures
+from ..ops.pointcloud import PointBatch, voxel_downsample
+from ..utils.config import MappingConfig
+from .lidar_mapping import solve_map_pose
+
+
+class DeviceMapState(NamedTuple):
+    corner: jax.Array       # (F, corner_slot, 3) world frame
+    corner_mask: jax.Array  # (F, corner_slot)
+    surf: jax.Array         # (F, surf_slot, 3)
+    surf_mask: jax.Array    # (F, surf_slot)
+    cursor: jax.Array       # int32: next slab to overwrite
+    correction: se3.Pose    # wmap_T_odom
+
+
+def init_state(cfg: MappingConfig) -> DeviceMapState:
+    F = cfg.submap_frames
+    return DeviceMapState(
+        corner=jnp.zeros((F, cfg.corner_slot, 3), jnp.float32),
+        corner_mask=jnp.zeros((F, cfg.corner_slot), bool),
+        surf=jnp.zeros((F, cfg.surf_slot, 3), jnp.float32),
+        surf_mask=jnp.zeros((F, cfg.surf_slot), bool),
+        cursor=jnp.int32(0),
+        correction=se3.identity_pose(),
+    )
+
+
+def device_mapping_impl(
+    state: DeviceMapState,
+    corner_pts: jax.Array, corner_mask: jax.Array,
+    surf_pts: jax.Array, surf_mask: jax.Array,
+    odom_pose: se3.Pose,
+    cfg: MappingConfig,
+) -> tuple[DeviceMapState, se3.Pose]:
+    """One mapping frame fully on device: downsample → solve → insert.
+
+    Returns (new state, refined world pose). On the first frame the map is
+    empty, the GN accumulates nothing (zero step) and the frame seeds the map
+    — the reference's ``initialized`` branch falls out of the algebra.
+    Pure function: composable into fused/scanned chunk programs.
+    """
+    F = cfg.submap_frames
+
+    corner_ds = voxel_downsample(
+        corner_pts, corner_mask, leaf=cfg.corner_leaf, max_out=cfg.corner_slot
+    )
+    surf_ds = voxel_downsample(
+        surf_pts, surf_mask, leaf=cfg.surf_leaf, max_out=cfg.surf_slot
+    )
+
+    init = se3.se3_compose(state.correction, odom_pose)
+    refined = solve_map_pose(
+        corner_ds, surf_ds,
+        PointBatch(state.corner.reshape(-1, 3), state.corner_mask.reshape(-1)),
+        PointBatch(state.surf.reshape(-1, 3), state.surf_mask.reshape(-1)),
+        init, cfg,
+    )
+
+    # insert the refined-world-frame slab over the oldest
+    cw = se3.se3_apply(refined, corner_ds.xyz)
+    sw = se3.se3_apply(refined, surf_ds.xyz)
+    cur = state.cursor % F
+    new_state = DeviceMapState(
+        corner=jax.lax.dynamic_update_slice(state.corner, cw[None], (cur, 0, 0)),
+        corner_mask=jax.lax.dynamic_update_slice(
+            state.corner_mask, corner_ds.mask[None], (cur, 0)
+        ),
+        surf=jax.lax.dynamic_update_slice(state.surf, sw[None], (cur, 0, 0)),
+        surf_mask=jax.lax.dynamic_update_slice(
+            state.surf_mask, surf_ds.mask[None], (cur, 0)
+        ),
+        cursor=(state.cursor + 1) % F,
+        correction=se3.se3_compose(refined, se3.se3_inverse(odom_pose)),
+    )
+    return new_state, refined
+
+
+# NB: no buffer donation — freshly-initialized states alias the identity
+# pose across fields (donating the same buffer twice is an XLA error), and
+# the state is ~1 MB: not worth the aliasing hazard.
+device_mapping_step = partial(jax.jit, static_argnames=("cfg",))(
+    device_mapping_impl
+)
+
+
+@partial(jax.jit, static_argnames=())
+def _apply_correction(correction: se3.Pose, odom_pose: se3.Pose) -> se3.Pose:
+    return se3.se3_compose(correction, odom_pose)
+
+
+@partial(jax.jit, static_argnames=("lidar_cfg", "odom_cfg", "map_cfg"))
+def slam_chunk_quantized(
+    odo_state,
+    map_state: DeviceMapState,
+    qpts: jax.Array,      # (K, N, 3) uint16 (lidar_odometry.quantize_scan)
+    counts: jax.Array,    # (K,) int32
+    lidar_cfg,
+    odom_cfg,
+    map_cfg: MappingConfig,
+):
+    """K frames of the FULL lidar stack in one device program: dequantize →
+    feature extraction → scan-to-scan GN → scan-to-map GN → map insert.
+
+    The reference runs these as three ROS processes exchanging ~10 MB clouds
+    per frame (SURVEY.md §3.2-3.5); here the whole chain is a ``lax.scan``
+    whose carried state (odometry features + the ring-buffer submap) never
+    leaves HBM. Returns (odo_state, map_state, odom poses (K,), mapped
+    poses (K,)).
+    """
+    from .lidar_odometry import QUANT_OFFSET, QUANT_SCALE, odometry_step
+    from .scan_registration import register_scan_impl
+
+    idx = jnp.arange(qpts.shape[1], dtype=jnp.int32)
+
+    def step(carry, frame):
+        odo, mp = carry
+        qp, n = frame
+        xyz = qp.astype(jnp.float32) * QUANT_SCALE + QUANT_OFFSET
+        mask = idx < n
+        feats = register_scan_impl(xyz, mask, lidar_cfg).features
+        odo, pose_w = odometry_step(odo, feats, odom_cfg)
+        mp, refined = device_mapping_impl(
+            mp, feats.less_sharp.xyz, feats.less_sharp.mask,
+            feats.less_flat.xyz, feats.less_flat.mask, pose_w, map_cfg,
+        )
+        return (odo, mp), (pose_w, refined)
+
+    (odo_state, map_state), (odom_poses, mapped_poses) = jax.lax.scan(
+        step, (odo_state, map_state), (qpts, counts)
+    )
+    return odo_state, map_state, odom_poses, mapped_poses
+
+
+class DeviceMapping:
+    """Host driver for the device-resident mapping stage.
+
+    Same interface as ``lidar_mapping.LidarMapping`` but never syncs with the
+    host: poses stay on device, dispatch is fully pipelined (the tunnel's
+    ~30 ms round-trip is amortized by queue depth, as in the odometry path).
+    """
+
+    def __init__(self, cfg: MappingConfig = MappingConfig()):
+        self.cfg = cfg
+        self.state = init_state(cfg)
+        self._frame = 0
+
+    def process(self, feats: ScanFeatures, odom_pose: se3.Pose,
+                skip: int = 1) -> se3.Pose:
+        """Refine ``odom_pose`` against the device map every ``skip`` frames
+        (≡ mapping_skip_frame); in between, compose the last correction."""
+        if self._frame % skip == 0:
+            self.state, refined = device_mapping_step(
+                self.state,
+                feats.less_sharp.xyz, feats.less_sharp.mask,
+                feats.less_flat.xyz, feats.less_flat.mask,
+                odom_pose, self.cfg,
+            )
+        else:
+            refined = _apply_correction(self.state.correction, odom_pose)
+        self._frame += 1
+        return refined
+
+    def export_map(self) -> tuple[np.ndarray, np.ndarray]:
+        """D2H snapshot of the live submap (corner, surf world points) —
+        feed to ``CubeMap.insert`` for archival/checkpointing."""
+        c = np.asarray(self.state.corner.reshape(-1, 3))
+        cm = np.asarray(self.state.corner_mask.reshape(-1))
+        s = np.asarray(self.state.surf.reshape(-1, 3))
+        sm = np.asarray(self.state.surf_mask.reshape(-1))
+        return c[cm], s[sm]

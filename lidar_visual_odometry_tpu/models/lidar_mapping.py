@@ -40,47 +40,45 @@ class LocalMap(NamedTuple):
     surf: PointBatch
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def mapping_step(
-    corner_pts: jax.Array, corner_mask: jax.Array,
-    surf_pts: jax.Array, surf_mask: jax.Array,
-    local: LocalMap,
+def solve_map_pose(
+    corner_q: PointBatch,
+    surf_q: PointBatch,
+    corner_cand: PointBatch,
+    surf_cand: PointBatch,
     init_pose: se3.Pose,
     cfg: MappingConfig,
 ) -> se3.Pose:
-    """Refine the world pose of the current frame against the local submap.
+    """The scan-to-map Gauss-Newton core, shared by the host-cube-map and
+    device-resident-map drivers: ``outer_iters`` rounds of {5-NN association
+    → line/plane fits → ``gn_iters`` GN iterations}, mirroring the
+    reference's 10×(associate → 4 Ceres iters) (laserMapping.cpp:562-721).
 
-    corner/surf_pts: current-frame features (lidar frame); they are
-    voxel-downsampled at the mapping leaf sizes before association, like the
-    reference's per-frame stack filtering (laserMapping.cpp:542-550).
-    init_pose: map-corrected initial guess (wmap_T_odom ∘ odom pose,
-    ``transformAssociateToMap`` laserMapping.cpp:142-146).
+    Queries are current-frame features (lidar frame, downsampled at mapping
+    leaf sizes); candidates are world-frame map points. An empty candidate
+    set yields H=0, g=0 → zero step (cold start needs no special case).
     """
-    from ..ops.pointcloud import voxel_downsample
-
-    corner_ds = voxel_downsample(
-        corner_pts, corner_mask, leaf=cfg.corner_leaf, max_out=4096
-    )
-    surf_ds = voxel_downsample(
-        surf_pts, surf_mask, leaf=cfg.surf_leaf, max_out=8192
-    )
-    corner_pts_d, corner_mask_d = corner_ds.xyz, corner_ds.mask
-    surf_pts_d, surf_mask_d = surf_ds.xyz, surf_ds.mask
+    corner_pts_d, corner_mask_d = corner_q.xyz, corner_q.mask
+    surf_pts_d, surf_mask_d = surf_q.xyz, surf_q.mask
 
     on_tpu = jax.default_backend() == "tpu"
 
     def nn5(qpts, cands: PointBatch, q_tile):
-        """(dist (Q,5), nbr coords (Q,5,3)) — Pallas streaming top-k on TPU,
-        XLA chunked top-k + gathers elsewhere."""
+        """(dist (Q,5), nbr coords (Q,5,3)) — Pallas streaming top-k on TPU
+        (index-carrying kernel + one small gather), XLA chunked top-k
+        elsewhere. Unfilled slots (dist ≥ 1e30) gather candidate 0 — every
+        consumer gates on the distance first."""
         if on_tpu:
             from ..ops import pallas_nn
 
             baked = pallas_nn.bake_mask(cands.xyz, cands.mask)
-            return pallas_nn.block_topk_coords(
+            dist, idx = pallas_nn.block_topk(
                 qpts, baked, k=cfg.knn, q_tile=q_tile
             )
+            return dist, baked[idx]
         idx, dist = knn.knn(qpts, cands.xyz, cands.mask, cfg.knn, chunk=4096)
         return dist, cands.xyz[idx]
+
+    local = LocalMap(corner_cand, surf_cand)
 
     def outer(pose, _):
         # --- corner → line association (laserMapping.cpp:577-621) ---
@@ -124,6 +122,35 @@ def mapping_step(
 
     pose, _ = jax.lax.scan(outer, init_pose, None, length=cfg.outer_iters)
     return pose
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mapping_step(
+    corner_pts: jax.Array, corner_mask: jax.Array,
+    surf_pts: jax.Array, surf_mask: jax.Array,
+    local: LocalMap,
+    init_pose: se3.Pose,
+    cfg: MappingConfig,
+) -> se3.Pose:
+    """Refine the world pose of the current frame against the local submap.
+
+    corner/surf_pts: current-frame features (lidar frame); they are
+    voxel-downsampled at the mapping leaf sizes before association, like the
+    reference's per-frame stack filtering (laserMapping.cpp:542-550).
+    init_pose: map-corrected initial guess (wmap_T_odom ∘ odom pose,
+    ``transformAssociateToMap`` laserMapping.cpp:142-146).
+    """
+    from ..ops.pointcloud import voxel_downsample
+
+    corner_ds = voxel_downsample(
+        corner_pts, corner_mask, leaf=cfg.corner_leaf, max_out=4096
+    )
+    surf_ds = voxel_downsample(
+        surf_pts, surf_mask, leaf=cfg.surf_leaf, max_out=8192
+    )
+    return solve_map_pose(
+        corner_ds, surf_ds, local.corner, local.surf, init_pose, cfg
+    )
 
 
 class CubeMap:

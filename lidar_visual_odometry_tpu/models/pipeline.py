@@ -146,13 +146,23 @@ class FullPipeline:
     asynchronous; the mapping stage syncs with the host for cube bookkeeping.
     """
 
-    def __init__(self, cfg: SystemConfig = SystemConfig(), capacity: int = 131072):
+    def __init__(self, cfg: SystemConfig = SystemConfig(), capacity: int = 131072,
+                 device_map: bool = True):
+        """device_map=True (default) keeps the local map resident on device
+        (models/device_mapping.py) — zero per-frame submap transfers, fully
+        pipelined dispatch. device_map=False uses the host cube-map driver
+        (faithful unbounded store, one submap upload + host sync per frame)."""
+        from ..models import device_mapping as dm
         from ..models import lidar_mapping as lm
 
         self.cfg = cfg
         self.capacity = capacity
         self.odom = lo.LidarOdometry(cfg.odometry)
-        self.mapper = lm.LidarMapping(cfg.mapping)
+        self.device_map = device_map
+        self.mapper = (
+            dm.DeviceMapping(cfg.mapping) if device_map
+            else lm.LidarMapping(cfg.mapping)
+        )
 
     def run(self, scans, progress: bool = False):
         """Returns (odometry TrajectoryResult, mapped TrajectoryResult)."""
@@ -176,7 +186,9 @@ class FullPipeline:
         skip = self.cfg.odometry.skip_frame_num
         last = None
         for k, (feats, pose) in enumerate(zip(feats_stream, odom_poses)):
-            if k % skip == 0:
+            if self.device_map:
+                last = self.mapper.process(feats, pose, skip=skip)
+            elif k % skip == 0:
                 last = self.mapper.process(feats, pose)
             else:
                 last = se3.se3_compose(self.mapper.correction, pose)
@@ -194,3 +206,62 @@ class FullPipeline:
         if progress:
             print(f"odom+map: {len(scans)} frames in {wall:.2f}s")
         return to_result(odom_poses), to_result(mapped_poses)
+
+    def run_chunked(self, scans, chunk: int = 8, progress: bool = False):
+        """The fused fast path: K frames of register → scan-to-scan →
+        scan-to-map → map insert per device program
+        (device_mapping.slam_chunk_quantized). Requires device_map=True.
+
+        Returns (odometry TrajectoryResult, mapped TrajectoryResult).
+        """
+        import time
+
+        import jax
+
+        from ..models import device_mapping as dm
+        from ..models import lidar_odometry as lo
+
+        assert self.device_map, "run_chunked requires the device-resident map"
+
+        xyz0, mask0 = pc.pad_points(np.asarray(scans[0])[:, :3], self.capacity)
+        reg0 = sr.register_scan(
+            jnp.asarray(xyz0), jnp.asarray(mask0), self.cfg.lidar
+        )
+        odo_state = lo.init_state(reg0.features)
+        map_state = dm.init_state(self.cfg.mapping)
+
+        t0 = time.time()
+        device_chunks = []
+        for s in range(1, len(scans), chunk):
+            batch = scans[s:s + chunk]
+            qs = np.empty((len(batch), self.capacity, 3), np.uint16)
+            counts = np.empty((len(batch),), np.int32)
+            for i, pts in enumerate(batch):
+                qs[i], counts[i] = lo.quantize_scan(np.asarray(pts), self.capacity)
+            device_chunks.append((jnp.asarray(qs), jnp.asarray(counts)))
+
+        chunks = []
+        for dq, dc in device_chunks:
+            odo_state, map_state, op, mp = dm.slam_chunk_quantized(
+                odo_state, map_state, dq, dc,
+                self.cfg.lidar, self.cfg.odometry, self.cfg.mapping,
+            )
+            chunks.append((op.q, op.t, mp.q, mp.t))
+        jax.block_until_ready(chunks[-1])
+        np.asarray(chunks[-1][3])  # axon: force a real D2H drain
+        wall = time.time() - t0
+
+        n = len(scans)
+        ident_q = np.array([[1.0, 0, 0, 0]], np.float32)
+        zero_t = np.zeros((1, 3), np.float32)
+
+        def cat(first, i):
+            return np.concatenate([first] + [np.asarray(c[i]) for c in chunks])
+
+        per = [wall / (n - 1)] * n
+        odom = TrajectoryResult(cat(zero_t, 1), cat(ident_q, 0), per_frame_s=per)
+        mapped = TrajectoryResult(cat(zero_t, 3), cat(ident_q, 2), per_frame_s=per)
+        if progress:
+            print(f"odom+map(fused): {n} frames in {wall:.2f}s "
+                  f"→ {(n - 1)/wall:.1f} fps")
+        return odom, mapped

@@ -311,6 +311,96 @@ def _block_topk_kernel(k, n_cchunks, q_ref, c_ref, d_out, c_out,
         c_out[:, :, 2] = zs_ref[:]
 
 
+def _block_topk_loop_kernel(k, c_chunk, n_chunks, q_ref, ct_ref, d_out, i_out):
+    """One grid step per query tile; candidates stream through an internal
+    ``fori_loop``. The two-axis (q_tile, c_chunk) grid formulation spent
+    ~80% of its time in per-step overhead (256 dispatches of ~60 µs for a
+    ~2 ms compute); here the whole candidate set sits in VMEM (C·3 floats,
+    transposed to (3, C) so per-chunk column loads are lane-major — no
+    sublane↔lane transposes) and the loop is free."""
+    q = q_ref[:]                        # (QT, 3)
+    QT = q.shape[0]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    col = jax.lax.broadcasted_iota(jnp.int32, (QT, c_chunk), 1)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (QT, 2 * k), 1)
+
+    def chunk_step(ci, carry):
+        ds, ii = carry                  # (QT, k) running best
+        base = ci * c_chunk
+        c = ct_ref[:, pl.dslice(base, c_chunk)]   # (3, c_chunk), lane-major
+        dx = qx - c[0:1, :]
+        dy = qy - c[1:2, :]
+        dz = qz - c[2:3, :]
+        dm = dx * dx + dy * dy + dz * dz          # (QT, c_chunk)
+
+        loc_d, loc_i = [], []
+        for _ in range(k):
+            i = jnp.argmin(dm, axis=1)
+            loc_d.append(jnp.min(dm, axis=1))
+            loc_i.append(base + i)
+            dm = jnp.where(col == i[:, None], 1e30, dm)
+
+        md = jnp.concatenate([ds, jnp.stack(loc_d, axis=1)], axis=1)
+        mi = jnp.concatenate([ii, jnp.stack(loc_i, axis=1)], axis=1)
+        nd, ni = [], []
+        for _ in range(k):
+            j = jnp.argmin(md, axis=1)
+            nd.append(jnp.min(md, axis=1))
+            oh = col2 == j[:, None]
+            ni.append(jnp.sum(jnp.where(oh, mi, 0), axis=1))
+            md = jnp.where(oh, 1e30, md)
+        return jnp.stack(nd, axis=1), jnp.stack(ni, axis=1)
+
+    ds0 = jnp.full((QT, k), 1e30, jnp.float32)
+    ii0 = jnp.zeros((QT, k), jnp.int32)
+    ds, ii = jax.lax.fori_loop(0, n_chunks, chunk_step, (ds0, ii0))
+    d_out[:] = ds
+    i_out[:] = ii
+
+
+@partial(jax.jit, static_argnames=("k", "q_tile", "c_tile", "interpret"))
+def block_topk(
+    q_xyz: jax.Array,
+    c_baked: jax.Array,
+    *,
+    k: int = 5,
+    q_tile: int = 1024,
+    c_tile: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """k nearest candidates per query as (dist (Q, k), index (Q, k)).
+    Same contract as :func:`block_topk_coords` but index-carrying and
+    single-dispatch-per-query-tile — the fast path for the scan-to-map
+    association (laserMapping.cpp:582,648)."""
+    Q = q_xyz.shape[0]
+    C = c_baked.shape[0]
+    assert Q % q_tile == 0 and C % c_tile == 0
+    n_c = C // c_tile
+
+    d, idx = pl.pallas_call(
+        partial(_block_topk_loop_kernel, k, c_tile, n_c),
+        grid=(Q // q_tile,),
+        in_specs=[
+            pl.BlockSpec((q_tile, 3), lambda qi: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, C), lambda qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, k), lambda qi: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, k), lambda qi: (qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, k), jnp.float32),
+            jax.ShapeDtypeStruct((Q, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_xyz, c_baked.T)
+    return d, idx
+
+
 @partial(jax.jit, static_argnames=("k", "q_tile", "c_tile", "interpret"))
 def block_topk_coords(
     q_xyz: jax.Array,

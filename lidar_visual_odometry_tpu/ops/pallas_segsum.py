@@ -67,3 +67,35 @@ def segment_sum_batched(
         interpret=interpret,
     )(seg_id[:, None, :], vals)
     return out[:, :, :n_segments]
+
+
+def segment_sum(
+    seg_id: jax.Array,    # (W,) int32 in [0, n_segments)
+    vals: jax.Array,      # (C, W) float32
+    *,
+    n_segments: int,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flat segment sum out[c, s] = Σ_{w: seg_id[w]=s} vals[c, w] as chunked
+    one-hot MXU contractions: the point axis splits into W/chunk rows so each
+    row's (S, chunk) one-hot fits VMEM, partial sums reduce over rows.
+
+    The XLA scatter-add alternative serializes on TPU (~5-10 ms for a 32k
+    voxel filter); this is sub-ms MXU work (2·W·S·C flops streamed)."""
+    C, W = vals.shape
+    pad = (-W) % chunk
+    if pad:
+        seg_id = jnp.concatenate(
+            [seg_id, jnp.full((pad,), n_segments - 1, seg_id.dtype)]
+        )
+        vals = jnp.concatenate([vals, jnp.zeros((C, pad), vals.dtype)], axis=1)
+        W += pad
+    R = W // chunk
+    partials = segment_sum_batched(
+        seg_id.reshape(R, chunk),
+        vals.reshape(C, R, chunk).transpose(1, 0, 2),
+        n_segments=n_segments,
+        interpret=interpret,
+    )                                 # (R, C, S)
+    return partials.sum(axis=0)

@@ -256,13 +256,17 @@ def voxel_downsample(
       3. runs of equal id are one voxel → scatter-add into the run-start slot
       4. compact run starts to the front, divide by counts
 
-    Fixed output budget ``max_out``; if more voxels are occupied the extras are
-    dropped deterministically (sorted cell-id order).
+    Fixed output budget ``max_out``; if more voxels are occupied the extras
+    are dropped deterministically but UNBIASED: voxels are ordered by a hash
+    of their cell id, so an overflow drops a pseudo-random spatial subsample
+    (ordering by raw cell id would drop one whole side of the cloud — a
+    systematic bias that corrupts downstream pose solves).
 
-    Cell ids use exact int32 keys (JAX default disables int64): a lexicographic
-    sort over (qx*2048+qy, qz) via two stable argsorts — no hash collisions.
-    Coordinate coverage is ±1024·leaf around ``origin`` (204 m at 0.2 m leaf),
-    clamped beyond that.
+    Cell ids use exact int32 keys (JAX default disables int64): a
+    lexicographic sort over (hash, qx*2048+qy, qz) — the trailing exact keys
+    keep equal cells contiguous even under hash collisions. Coordinate
+    coverage is ±1024·leaf around ``origin`` (204 m at 0.2 m leaf), clamped
+    beyond that.
     """
     if origin is None:
         origin = -1024.0 * leaf  # center the 2048-cell coverage on the sensor
@@ -271,12 +275,18 @@ def voxel_downsample(
     )
     kxy = jnp.where(mask, q[:, 0] * 2048 + q[:, 1], jnp.int32(2**31 - 1))
     kz = q[:, 2]
+    h = (
+        q[:, 0].astype(jnp.uint32) * jnp.uint32(73856093)
+        ^ q[:, 1].astype(jnp.uint32) * jnp.uint32(19349663)
+        ^ q[:, 2].astype(jnp.uint32) * jnp.uint32(83492791)
+    ).astype(jnp.int32) & jnp.int32(0x7FFFFFFF)
+    h = jnp.where(mask, h, jnp.int32(2**31 - 1))  # invalid sorts to the back
 
-    # One stable two-key sort carrying the point data (argsort+gather chains
+    # One stable multi-key sort carrying the point data (argsort+gather chains
     # lower to slow serialized gathers on TPU; data-carrying sorts are fast).
-    kxy_s, kz_s, xs, ys, zs, mask_i = jax.lax.sort(
-        (kxy, kz, xyz[:, 0], xyz[:, 1], xyz[:, 2], mask.astype(jnp.int32)),
-        num_keys=2,
+    _, kxy_s, kz_s, xs, ys, zs, mask_i = jax.lax.sort(
+        (h, kxy, kz, xyz[:, 0], xyz[:, 1], xyz[:, 2], mask.astype(jnp.int32)),
+        num_keys=3,
         is_stable=True,
     )
     xyz_s = jnp.stack([xs, ys, zs], axis=-1)
@@ -291,16 +301,32 @@ def voxel_downsample(
     # run id per point = number of run-starts before it (inclusive) - 1
     run_id = jnp.cumsum(is_start) - 1
     run_id = jnp.where(mask_s, run_id, max_out)  # invalid → overflow bucket
+    run_id = jnp.minimum(run_id, max_out)
 
-    sums = jnp.zeros((max_out + 1, 3), dtype=xyz.dtype)
-    sums = sums.at[jnp.minimum(run_id, max_out)].add(
-        jnp.where(mask_s[:, None], xyz_s, 0.0)
-    )
-    cnts = jnp.zeros((max_out + 1,), dtype=jnp.float32)
-    cnts = cnts.at[jnp.minimum(run_id, max_out)].add(mask_s.astype(jnp.float32))
+    mf = mask_s.astype(jnp.float32)
+    if jax.default_backend() == "tpu":
+        from . import pallas_segsum
 
-    out_mask = cnts[:max_out] > 0
-    out_xyz = sums[:max_out] / jnp.maximum(cnts[:max_out, None], 1.0)
+        vals = jnp.stack(
+            [jnp.where(mask_s, xs, 0.0), jnp.where(mask_s, ys, 0.0),
+             jnp.where(mask_s, zs, 0.0), mf],
+            axis=0,
+        )                                                # (4, N)
+        acc = pallas_segsum.segment_sum(
+            run_id, vals, n_segments=max_out + 1
+        )                                                # (4, max_out+1)
+        sums = acc[:3, :max_out].T
+        cnts = acc[3, :max_out]
+    else:
+        sums = jnp.zeros((max_out + 1, 3), dtype=xyz.dtype)
+        sums = sums.at[run_id].add(jnp.where(mask_s[:, None], xyz_s, 0.0))
+        cnts_full = jnp.zeros((max_out + 1,), dtype=jnp.float32)
+        cnts_full = cnts_full.at[run_id].add(mf)
+        sums = sums[:max_out]
+        cnts = cnts_full[:max_out]
+
+    out_mask = cnts > 0
+    out_xyz = sums / jnp.maximum(cnts[:, None], 1.0)
     return PointBatch(out_xyz, out_mask)
 
 

