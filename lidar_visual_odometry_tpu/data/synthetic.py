@@ -208,8 +208,15 @@ class SyntheticSequence:
     seed: int = 0
     scene: BoxScene = field(default_factory=lambda: BoxScene.corridor(0))
 
-    def pose(self, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """GT sensor→world pose at frame k (arc of constant curvature)."""
+    #: vertical bounce (m) and roll wobble (rad) amplitudes for "bumpy"
+    #: regimes (exercise the IMU fusion path); 0 = smooth drive
+    bounce: float = 0.0
+    roll_amp: float = 0.0
+
+    def pose(self, k: float) -> tuple[np.ndarray, np.ndarray]:
+        """GT sensor→world pose at (possibly fractional) frame k — an arc of
+        constant curvature, optionally with bounce/roll perturbations. Being
+        analytic in k lets ``synthesize_imu`` sample it at IMU rate."""
         yaw = self.yaw_rate * k
         R = yaw_matrix(yaw)
         if abs(self.yaw_rate) < 1e-9:
@@ -218,6 +225,12 @@ class SyntheticSequence:
             rad = self.speed / self.yaw_rate
             t = np.array([rad * np.sin(yaw), rad * (1.0 - np.cos(yaw)), 0.0])
         t = t + np.array([0.0, 0.0, 1.73])  # sensor height
+        if self.bounce > 0.0:
+            t = t + np.array([0.0, 0.0, self.bounce * np.sin(0.9 * k)])
+        if self.roll_amp > 0.0:
+            r = self.roll_amp * np.sin(0.7 * k)
+            c, s = np.cos(r), np.sin(r)
+            R = R @ np.array([[1.0, 0, 0], [0, c, -s], [0, s, c]])
         return R, t
 
     def scan(self, k: int) -> np.ndarray:
@@ -233,3 +246,145 @@ class SyntheticSequence:
         R0, t0 = self.pose(k)
         R1, t1 = self.pose(k + 1)
         return R0.T @ R1, R0.T @ (t1 - t0)
+
+
+@dataclass
+class PiecewiseArcSequence(SyntheticSequence):
+    """Piecewise constant-curvature drive: harder accuracy regimes than the
+    single gentle arc (rotation-heavy turns, S-curves, out-and-back
+    revisits). ``segments`` = ((n_frames, speed, yaw_rate), ...); pose(k)
+    integrates the arcs in closed form segment by segment, so it stays
+    analytic in k (fractional k works → IMU synthesis works too)."""
+
+    segments: tuple = ((20, 1.0, 0.0),)
+
+    def __post_init__(self):
+        # segment-start states (yaw, x, y), computed once, exactly
+        starts = [(0.0, 0.0, 0.0)]
+        for (n, v, w) in self.segments:
+            yaw, x, y = starts[-1]
+            dyaw = w * n
+            if abs(w) < 1e-9:
+                x += v * n * np.cos(yaw)
+                y += v * n * np.sin(yaw)
+            else:
+                r = v / w
+                x += r * (np.sin(yaw + dyaw) - np.sin(yaw))
+                y += r * (np.cos(yaw) - np.cos(yaw + dyaw))
+            starts.append((yaw + dyaw, x, y))
+        self._starts = starts
+        self.n_frames = int(sum(s[0] for s in self.segments)) + 1
+
+    def pose(self, k: float) -> tuple[np.ndarray, np.ndarray]:
+        rem = float(k)
+        for i, ((n, v, w), (yaw, x, y)) in enumerate(
+            zip(self.segments, self._starts)
+        ):
+            if rem <= n or i == len(self.segments) - 1:
+                dyaw = w * rem
+                if abs(w) < 1e-9:
+                    x += v * rem * np.cos(yaw)
+                    y += v * rem * np.sin(yaw)
+                else:
+                    r = v / w
+                    x += r * (np.sin(yaw + dyaw) - np.sin(yaw))
+                    y += r * (np.cos(yaw) - np.cos(yaw + dyaw))
+                R = yaw_matrix(yaw + dyaw)
+                t = np.array([x, y, 1.73])
+                if self.bounce > 0.0:
+                    t = t + np.array(
+                        [0.0, 0.0, self.bounce * np.sin(0.9 * float(k))]
+                    )
+                return R, t
+            rem -= n
+        raise ValueError(k)
+
+    @staticmethod
+    def out_and_back(leg: int = 12, turn: int = 21, speed: float = 1.0,
+                     **kw) -> "PiecewiseArcSequence":
+        """Drive out, U-turn, drive back over the same ground — the revisit
+        regime where a long-horizon map matters and an 8-frame one fails.
+        The default turn rate (π/21 ≈ 0.15 rad/frame at reduced speed) is at
+        the edge of what warm-started scan-to-scan can track — rotation
+        stress by design."""
+        return PiecewiseArcSequence(
+            segments=(
+                (leg, speed, 0.0),
+                (turn, speed * 0.4, np.pi / turn),
+                (leg, speed, 0.0),
+            ),
+            **kw,
+        )
+
+    @staticmethod
+    def s_curve(leg: int = 15, yaw_rate: float = 0.04, speed: float = 1.0,
+                **kw) -> "PiecewiseArcSequence":
+        """Rotation-heavy S-curve (|yaw_rate| ≥ 0.03 rad/frame)."""
+        return PiecewiseArcSequence(
+            segments=((leg, speed, yaw_rate), (leg, speed, -yaw_rate)),
+            **kw,
+        )
+
+
+GRAVITY_W = np.array([0.0, 0.0, -9.81])
+
+
+def synthesize_imu(
+    seq: SyntheticSequence,
+    *,
+    frame_period: float = 0.1,
+    rate_hz: float = 100.0,
+    accel_noise: float = 0.02,
+    gyro_noise: float = 0.002,
+    accel_bias: np.ndarray | None = None,
+    gyro_bias: np.ndarray | None = None,
+    seed: int = 7,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Body-frame IMU stream along the sequence's exact trajectory.
+
+    Samples the analytic pose at IMU rate and differentiates numerically:
+    accel measurement aₘ = Rᵀ(a_w − g_w) (a static IMU reads +9.81 up),
+    gyro measurement ω = log(RᵀR₊)/dt. This is the data source the
+    reference's adjustPointCloud/BackEndSolver path consumes from a real
+    IMU (``src/adjustPointCloud.cpp:76-142``).
+
+    Returns (stamps (M,), accel (M, 3), gyro (M, 3)); frame k's lidar stamp
+    is k·frame_period, so ``sync.bundle_imu`` slices this stream directly.
+    """
+    rng = np.random.default_rng(seed)
+    dt = 1.0 / rate_hz
+    n = int(round((seq.n_frames - 1) * frame_period * rate_hz)) + 1
+    stamps = np.arange(n) * dt
+    ks = stamps / frame_period                     # fractional frame index
+    eps = 1e-3                                     # frames (central diff)
+
+    poses = [seq.pose(k) for k in ks]
+    poses_m = [seq.pose(k - eps) for k in ks]
+    poses_p = [seq.pose(k + eps) for k in ks]
+    h = eps * frame_period                         # seconds
+
+    accel = np.zeros((n, 3))
+    gyro = np.zeros((n, 3))
+    for i in range(n):
+        R, t = poses[i]
+        _, tm = poses_m[i]
+        Rp, tp = poses_p[i]
+        a_w = (tp - 2.0 * t + tm) / (h * h)
+        accel[i] = R.T @ (a_w - GRAVITY_W)
+        dR = R.T @ Rp                              # body rotation over h
+        w_skew = (dR - dR.T) / 2.0
+        gyro[i] = (
+            np.array([w_skew[2, 1], w_skew[0, 2], w_skew[1, 0]]) / h
+        )
+
+    accel += rng.normal(scale=accel_noise, size=accel.shape)
+    gyro += rng.normal(scale=gyro_noise, size=gyro.shape)
+    if accel_bias is not None:
+        accel += accel_bias
+    if gyro_bias is not None:
+        gyro += gyro_bias
+    return (
+        stamps.astype(np.float64),
+        accel.astype(np.float32),
+        gyro.astype(np.float32),
+    )

@@ -4,20 +4,22 @@ The host-cube-map driver (``lidar_mapping.LidarMapping``) is faithful to the
 reference's unbounded 21×21×11 cube store (``laserMapping.cpp:74-104``) but
 pays a per-frame host→device transfer of the gathered submap (~0.6 MB ≈ 60 ms
 over the tunneled-TPU link) plus a host sync for cube bookkeeping. This module
-keeps the *local* map on device instead, so the whole mapping stage is one
+keeps the local map on device instead, so the whole mapping stage is one
 jitted program per frame with zero extra transfers:
 
-* **Map = ring buffer of frame slabs.** State is ``(F, slot, 3)`` world-frame
-  tensors per feature class: each processed frame voxel-downsamples its
-  features at the mapping leaf (laserMapping.cpp:542-550), solves, transforms
-  them by the refined pose, and overwrites the oldest slab
-  (``lax.dynamic_update_slice`` at a rolling cursor). Bounded memory and
-  recency-eviction replace the reference's cube recentering
-  (``laserMapping.cpp:323-507``): the 5×5×3 neighborhood it gathers is in
-  practice the last few seconds of scans — exactly what the ring holds.
+* **Map = bounded voxel store** (``ops/voxel_map.voxel_merge``): a flat
+  fixed-capacity world-frame point tensor per feature class, deduped at the
+  mapping leaf (one point per 0.4/0.8 m cell ≡ the reference's per-cube voxel
+  filtering, ``laserMapping.cpp:787-801``) with farthest-first eviction and
+  leaf-aligned recentering — the reference's 5×5×3-of-50 m-cubes neighborhood
+  (``laserMapping.cpp:512-537``) as index arithmetic. At the default
+  capacities (16k corner / 32k surf ≈ the host driver's gather caps) the map
+  retains minutes of geometry: revisits and slow turns keep their constraints
+  (the round-1 8-frame ring buffer lost them after ~1 s, and truncating the
+  per-frame slabs corrupted association outright).
 * **Solve** is the shared scan-to-map GN core (``lidar_mapping.solve_map_pose``:
-  Pallas 5-NN streaming top-k, closed-form line/plane fits, Huber GN), against
-  the flattened ring as the candidate cloud.
+  Pallas 5-NN streaming top-k, closed-form line/plane fits, Huber GN),
+  against the stored map as the candidate cloud.
 * **Correction chain** ``wmap_T_odom`` (``laserMapping.cpp:142-152``) lives in
   the carried state, so skipped frames (mapping_skip_frame) compose entirely
   on device too.
@@ -40,27 +42,25 @@ import jax.numpy as jnp
 from ..ops import se3
 from ..ops.features import ScanFeatures
 from ..ops.pointcloud import PointBatch, voxel_downsample
+from ..ops.voxel_map import voxel_merge
 from ..utils.config import MappingConfig
 from .lidar_mapping import solve_map_pose
 
 
 class DeviceMapState(NamedTuple):
-    corner: jax.Array       # (F, corner_slot, 3) world frame
-    corner_mask: jax.Array  # (F, corner_slot)
-    surf: jax.Array         # (F, surf_slot, 3)
-    surf_mask: jax.Array    # (F, surf_slot)
-    cursor: jax.Array       # int32: next slab to overwrite
+    corner: jax.Array       # (map_corner_cap, 3) world frame
+    corner_mask: jax.Array  # (map_corner_cap,)
+    surf: jax.Array         # (map_surf_cap, 3)
+    surf_mask: jax.Array    # (map_surf_cap,)
     correction: se3.Pose    # wmap_T_odom
 
 
 def init_state(cfg: MappingConfig) -> DeviceMapState:
-    F = cfg.submap_frames
     return DeviceMapState(
-        corner=jnp.zeros((F, cfg.corner_slot, 3), jnp.float32),
-        corner_mask=jnp.zeros((F, cfg.corner_slot), bool),
-        surf=jnp.zeros((F, cfg.surf_slot, 3), jnp.float32),
-        surf_mask=jnp.zeros((F, cfg.surf_slot), bool),
-        cursor=jnp.int32(0),
+        corner=jnp.zeros((cfg.map_corner_cap, 3), jnp.float32),
+        corner_mask=jnp.zeros((cfg.map_corner_cap,), bool),
+        surf=jnp.zeros((cfg.map_surf_cap, 3), jnp.float32),
+        surf_mask=jnp.zeros((cfg.map_surf_cap,), bool),
         correction=se3.identity_pose(),
     )
 
@@ -79,8 +79,6 @@ def device_mapping_impl(
     — the reference's ``initialized`` branch falls out of the algebra.
     Pure function: composable into fused/scanned chunk programs.
     """
-    F = cfg.submap_frames
-
     corner_ds = voxel_downsample(
         corner_pts, corner_mask, leaf=cfg.corner_leaf, max_out=cfg.corner_slot
     )
@@ -91,25 +89,29 @@ def device_mapping_impl(
     init = se3.se3_compose(state.correction, odom_pose)
     refined = solve_map_pose(
         corner_ds, surf_ds,
-        PointBatch(state.corner.reshape(-1, 3), state.corner_mask.reshape(-1)),
-        PointBatch(state.surf.reshape(-1, 3), state.surf_mask.reshape(-1)),
+        PointBatch(state.corner, state.corner_mask),
+        PointBatch(state.surf, state.surf_mask),
         init, cfg,
     )
 
-    # insert the refined-world-frame slab over the oldest
+    # merge the refined-world-frame slab into the bounded voxel store
     cw = se3.se3_apply(refined, corner_ds.xyz)
     sw = se3.se3_apply(refined, surf_ds.xyz)
-    cur = state.cursor % F
+    new_corner = voxel_merge(
+        state.corner, state.corner_mask, cw, corner_ds.mask, refined.t,
+        leaf=cfg.corner_leaf, cap=cfg.map_corner_cap,
+        drop_radius=cfg.map_drop_radius,
+    )
+    new_surf = voxel_merge(
+        state.surf, state.surf_mask, sw, surf_ds.mask, refined.t,
+        leaf=cfg.surf_leaf, cap=cfg.map_surf_cap,
+        drop_radius=cfg.map_drop_radius,
+    )
     new_state = DeviceMapState(
-        corner=jax.lax.dynamic_update_slice(state.corner, cw[None], (cur, 0, 0)),
-        corner_mask=jax.lax.dynamic_update_slice(
-            state.corner_mask, corner_ds.mask[None], (cur, 0)
-        ),
-        surf=jax.lax.dynamic_update_slice(state.surf, sw[None], (cur, 0, 0)),
-        surf_mask=jax.lax.dynamic_update_slice(
-            state.surf_mask, surf_ds.mask[None], (cur, 0)
-        ),
-        cursor=(state.cursor + 1) % F,
+        corner=new_corner.xyz,
+        corner_mask=new_corner.mask,
+        surf=new_surf.xyz,
+        surf_mask=new_surf.mask,
         correction=se3.se3_compose(refined, se3.se3_inverse(odom_pose)),
     )
     return new_state, refined
@@ -143,7 +145,7 @@ def slam_chunk_quantized(
 
     The reference runs these as three ROS processes exchanging ~10 MB clouds
     per frame (SURVEY.md §3.2-3.5); here the whole chain is a ``lax.scan``
-    whose carried state (odometry features + the ring-buffer submap) never
+    whose carried state (odometry features + the bounded voxel map) never
     leaves HBM. Returns (odo_state, map_state, odom poses (K,), mapped
     poses (K,)).
     """
@@ -201,10 +203,10 @@ class DeviceMapping:
         return refined
 
     def export_map(self) -> tuple[np.ndarray, np.ndarray]:
-        """D2H snapshot of the live submap (corner, surf world points) —
+        """D2H snapshot of the live map (corner, surf world points) —
         feed to ``CubeMap.insert`` for archival/checkpointing."""
-        c = np.asarray(self.state.corner.reshape(-1, 3))
-        cm = np.asarray(self.state.corner_mask.reshape(-1))
-        s = np.asarray(self.state.surf.reshape(-1, 3))
-        sm = np.asarray(self.state.surf_mask.reshape(-1))
+        c = np.asarray(self.state.corner)
+        cm = np.asarray(self.state.corner_mask)
+        s = np.asarray(self.state.surf)
+        sm = np.asarray(self.state.surf_mask)
         return c[cm], s[sm]

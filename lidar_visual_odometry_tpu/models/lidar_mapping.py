@@ -57,12 +57,15 @@ def solve_map_pose(
     leaf sizes); candidates are world-frame map points. An empty candidate
     set yields H=0, g=0 → zero step (cold start needs no special case).
     """
+    import math
+
     corner_pts_d, corner_mask_d = corner_q.xyz, corner_q.mask
     surf_pts_d, surf_mask_d = surf_q.xyz, surf_q.mask
 
     on_tpu = jax.default_backend() == "tpu"
 
     def nn5(qpts, cands: PointBatch, q_tile):
+        q_tile = math.gcd(qpts.shape[0], q_tile)
         """(dist (Q,5), nbr coords (Q,5,3)) — Pallas streaming top-k on TPU
         (index-carrying kernel + one small gather), XLA chunked top-k
         elsewhere. Unfilled slots (dist ≥ 1e30) gather candidate 0 — every

@@ -91,16 +91,23 @@ class MappingConfig:
     max_surf_map_local: int = 32768
     cube_capacity: int = 4096         # max points stored per 50 m cube, per class
     submap_radius: tuple = (2, 2, 1)  # 5x5x3 neighborhood (laserMapping.cpp:515-519)
-    # device-resident submap (models/device_mapping.py): ring buffer of the
-    # last `submap_frames` frames' leaf-downsampled features — the TPU-native
-    # local map (no per-frame host↔device submap transfer). Slots are padded
-    # per-frame budgets; totals must stay multiples of 512 (Pallas c_tile).
-    # Slot sizing: an HDL-64 scan occupies ~3.1k corner voxels @ 0.4 m and
-    # ~2.2k surf voxels @ 0.8 m — 4096 holds a full frame with headroom
-    # (overflow falls back to an unbiased hash-ordered subsample).
-    submap_frames: int = 8
+    # Device-resident map (models/device_mapping.py + ops/voxel_map.py): a
+    # bounded world-frame voxel store per feature class, deduped at the leaf,
+    # with farthest-first eviction inside `map_drop_radius` of the pose.
+    # corner_slot/surf_slot are the PER-FRAME downsampled feature budgets
+    # (query side of the scan-to-map solve). They must hold a full frame:
+    # an HDL-64 scan occupies ~3.1k corner voxels @ 0.4 m and ~2.2k surf
+    # voxels @ 0.8 m, so 4096 has headroom — an overflowing slot silently
+    # drops a hash-ordered subsample, which corrupts NN association (the
+    # round-1 regression). TPU tiling: slots must be multiples of 1024
+    # (Pallas block_topk query tile), map caps multiples of 512 (c_tile);
+    # solve_map_pose derives the actual q_tile as gcd(slot, 1024) so
+    # non-aligned CPU test configs still trace.
     corner_slot: int = 4096
     surf_slot: int = 4096
+    map_corner_cap: int = 16384       # bounded voxel-map capacities (points)
+    map_surf_cap: int = 32768
+    map_drop_radius: float = 150.0    # evict beyond this (≡ ±125 m 5x5x3 hood)
 
 
 @dataclass(frozen=True)
@@ -135,7 +142,9 @@ class VisualConfig:
     reverse_check_px: float = 1.0     # fwd/bwd consistency gate (featureTracking.cpp:214-237)
     fast_threshold: float = 30.0
     depth_knn: int = 3                # depth association KNN (Frontend.cpp:241)
-    gn_iters: int = 50                # visual GN cap (reference: 150, Frontend.cpp:401)
+    gn_iters: int = 150               # visual GN cap (Frontend.cpp:401); the
+                                      # |δ|<gn_tol while_loop early-out makes
+                                      # typical frames converge in 10-30 iters
     gn_tol: float = 1e-5              # convergence |dx| (Frontend.cpp:443-447)
     huber_reproj: float = 1.5 / 760.0  # Huber on normalized-plane residual (Frontend.cpp:652)
     max_tracked: int = 1024           # padded tracked-feature budget (28*6*5 = 840)

@@ -52,7 +52,8 @@ def main():
     )
     data = np.load(cache)
     scans = [data[f"s{k}"] for k in range(9)]
-    print(f"device: {jax.devices()[0]}  mapping cfg: F={mcfg.submap_frames} "
+    print(f"device: {jax.devices()[0]}  mapping cfg: "
+          f"caps=({mcfg.map_corner_cap},{mcfg.map_surf_cap}) "
           f"slots=({mcfg.corner_slot},{mcfg.surf_slot}) "
           f"outer={mcfg.outer_iters}", flush=True)
 
@@ -84,10 +85,8 @@ def main():
 
     corner_q = vdj(feats.less_sharp.xyz, feats.less_sharp.mask)
     surf_q = vdj2(feats.less_flat.xyz, feats.less_flat.mask)
-    corner_cand = PointBatch(
-        state.corner.reshape(-1, 3), state.corner_mask.reshape(-1))
-    surf_cand = PointBatch(
-        state.surf.reshape(-1, 3), state.surf_mask.reshape(-1))
+    corner_cand = PointBatch(state.corner, state.corner_mask)
+    surf_cand = PointBatch(state.surf, state.surf_mask)
 
     # 2. the NN kernels alone
     if jax.default_backend() == "tpu":

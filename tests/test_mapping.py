@@ -115,7 +115,8 @@ class TestFullPipeline:
             mapping=MappingConfig(
                 outer_iters=2, gn_iters=4,
                 max_corner_map_local=4096, max_surf_map_local=8192,
-                submap_frames=4, corner_slot=1024, surf_slot=2048,
+                corner_slot=4096, surf_slot=4096,
+                map_corner_cap=4096, map_surf_cap=8192,
             ),
         )
         odom, mapped = FullPipeline(cfg, device_map=device_map).run(scans)
@@ -124,3 +125,43 @@ class TestFullPipeline:
         # mapping must not degrade the trajectory, and both must be sane
         assert ate_map < max(1.2 * ate_odom, 0.05), (ate_odom, ate_map)
         assert ate_map < 0.2
+
+
+class TestRevisitRegime:
+    import pytest
+
+    @pytest.mark.slow
+    def test_device_map_survives_out_and_back(self):
+        """Out-and-back revisit: after the U-turn the platform re-observes
+        frame-0 geometry. The bounded voxel map (±150 m horizon) must keep
+        those constraints — mapping must not degrade odometry (the round-1
+        8-frame ring buffer lost the map here entirely)."""
+        from lidar_visual_odometry_tpu.eval import metrics
+        from lidar_visual_odometry_tpu.models.pipeline import FullPipeline
+        from lidar_visual_odometry_tpu.utils.config import (
+            OdometryConfig, SystemConfig,
+        )
+
+        seq = synthetic.PiecewiseArcSequence.out_and_back(
+            leg=6, turn=21, width=700, noise=0.01,
+        )
+        n = seq.n_frames
+        scans = [seq.scan(k) for k in range(n)]
+        R0, t0 = seq.pose(0)
+        gt = np.stack([R0.T @ (seq.pose(k)[1] - t0) for k in range(n)])
+        cfg = SystemConfig(
+            lidar=LidarConfig(azimuth_bins=1024),
+            odometry=OdometryConfig(outer_iters=5, gn_iters=4),
+            mapping=MappingConfig(
+                outer_iters=2, gn_iters=4,
+                corner_slot=4096, surf_slot=4096,
+                map_corner_cap=8192, map_surf_cap=16384,
+            ),
+        )
+        odom, mapped = FullPipeline(cfg, capacity=65536).run_chunked(
+            scans, chunk=7
+        )
+        ate_odom = metrics.ate_rmse(odom.positions, gt, align=False)
+        ate_map = metrics.ate_rmse(mapped.positions, gt, align=False)
+        assert ate_map < max(1.2 * ate_odom, 0.08), (ate_odom, ate_map)
+        assert ate_map < 0.35, ate_map
