@@ -177,9 +177,12 @@ def clahe(
     x1 = jnp.minimum(x0 + 1, gc - 1)
     fy = jnp.clip(yy - jnp.floor(yy), 0.0, 1.0)[:, None]
     fx = jnp.clip(xx - jnp.floor(xx), 0.0, 1.0)[None, :]
-    # out-of-range pixels (beyond first/last tile center) stick to the edge LUT
-    fy = jnp.where((yy < 0)[:, None] | (yy > gr - 1)[:, None], jnp.round(fy), fy)
-    fx = jnp.where((xx < 0)[None, :] | (xx > gc - 1)[None, :], jnp.round(fx), fx)
+    # pixels above/left of the first tile center stick to the edge tile's
+    # LUT: fy/fx → 0 there (OpenCV clamps ty1 AFTER computing ty2 = ty1+1,
+    # so border pixels weight tile 0 fully). Beyond the last center,
+    # y0 == y1 == gr-1 already, so fy is irrelevant.
+    fy = jnp.where((yy < 0)[:, None], 0.0, fy)
+    fx = jnp.where((xx < 0)[None, :], 0.0, fx)
 
     def sample(ti_y, ti_x):
         tid = ti_y[:, None] * gc + ti_x[None, :]

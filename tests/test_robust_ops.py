@@ -111,18 +111,18 @@ def _clahe_numpy(img, grid=(4, 4), clip_limit=3.0, n_bins=64):
     Hp, Wp = x.shape
     for yy in range(Hp):
         for xx in range(Wp):
+            # cv::CLAHE interpolation: neighbor indices are computed from the
+            # UNCLAMPED floor and clamped afterwards, so pixels outside the
+            # first/last tile centers collapse both indices onto the edge
+            # tile (modules/imgproc/src/clahe.cpp, CLAHE_Interpolation_Body)
             fy = (yy + 0.5) / th - 0.5
             fx = (xx + 0.5) / tw - 0.5
-            y0 = int(np.clip(np.floor(fy), 0, gr - 1))
-            x0 = int(np.clip(np.floor(fx), 0, gc - 1))
-            y1 = min(y0 + 1, gr - 1)
-            x1 = min(x0 + 1, gc - 1)
-            wy = np.clip(fy - np.floor(fy), 0.0, 1.0)
-            wx = np.clip(fx - np.floor(fx), 0.0, 1.0)
-            if fy < 0 or fy > gr - 1:
-                wy = round(wy)
-            if fx < 0 or fx > gc - 1:
-                wx = round(wx)
+            wy = fy - np.floor(fy)
+            wx = fx - np.floor(fx)
+            y0 = int(max(np.floor(fy), 0))
+            x0 = int(max(np.floor(fx), 0))
+            y1 = int(min(np.floor(fy) + 1, gr - 1))
+            x1 = int(min(np.floor(fx) + 1, gc - 1))
             k = b[yy, xx]
             v = (
                 luts[y0, x0, k] * (1 - wy) * (1 - wx)
