@@ -1,6 +1,10 @@
-"""Benchmark: lidar odometry frames/s on one chip, synthetic HDL-64 sequence.
+"""Benchmark: the three device pipelines on one chip, synthetic HDL-64 drive.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Headline metric = lidar-odometry frames/s (chunked fused path); extras add
+the full SLAM path (odometry + device-resident voxel map) and the combined
+camera+lidar path (fused visual chunk), each with its ATE.
+
 Baseline = the reference's hard real-time budget of 10 frames/s (it warns at
 >100 ms/frame, laserOdometry.cpp:666-667, and publishes no other numbers —
 BASELINE.md); vs_baseline is the speedup over that 10 fps requirement.
@@ -8,9 +12,70 @@ The north-star target is > 2× real time (vs_baseline > 2).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+N_FRAMES = 41  # 40 processed frames = 5 chunks of 8 (one compiled shape)
+CAM = dict(fx=240.0, fy=240.0, cx=320.0, cy=96.0, width=640, height=192)
+
+
+def _load_or_render(seq):
+    """Scans + camera images, cached (raycasting costs minutes on host)."""
+    from lidar_visual_odometry_tpu.data import synthetic
+
+    here = os.path.dirname(__file__)
+    scan_cache = os.path.join(here, ".bench_scans.npz")
+    img_cache = os.path.join(here, ".bench_images.npz")
+
+    if os.path.exists(scan_cache):
+        data = np.load(scan_cache)
+        scans = [data[f"s{k}"] for k in range(N_FRAMES)]
+    else:
+        scans = [seq.scan(k) for k in range(N_FRAMES)]
+        np.savez_compressed(
+            scan_cache, **{f"s{k}": s for k, s in enumerate(scans)}
+        )
+
+    if os.path.exists(img_cache):
+        data = np.load(img_cache)
+        images = [data[f"i{k}"] for k in range(N_FRAMES)]
+    else:
+        images = []
+        for k in range(N_FRAMES):
+            Rc, tc = synthetic.camera_from_velodyne_pose(*seq.pose(k))
+            img, _ = synthetic.render_image(seq.scene, Rc, tc, **CAM)
+            images.append(img)
+        np.savez_compressed(
+            img_cache, **{f"i{k}": im for k, im in enumerate(images)}
+        )
+    return scans, images
+
+
+def _config():
+    from lidar_visual_odometry_tpu.utils.config import (
+        CameraConfig, ExtrinsicConfig, SystemConfig, VisualConfig,
+    )
+
+    # forward-looking camera rigidly on the sensor, zero offset (the
+    # synthetic renders use camera_from_velodyne_pose)
+    R_sc = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+    ext = tuple(tuple(float(v) for v in row) + (0.0,) for row in R_sc.T)
+    return SystemConfig(
+        camera=CameraConfig(
+            fx=CAM["fx"], fy=CAM["fy"], cx=CAM["cx"], cy=CAM["cy"],
+            width=CAM["width"], height=CAM["height"],
+        ),
+        # the reference's 25×25 window / 4 levels is sized for 376-px-tall
+        # KITTI frames (featureTracking.cpp:203-211); this bench camera is
+        # half that — scale the tracker proportionally (the Pallas LK
+        # kernel's clamped window also needs win+2 ≤ level height)
+        visual=VisualConfig(
+            depth_cloud_cap=16384, lk_window=13, lk_levels=3,
+        ),
+        extrinsic=ExtrinsicConfig(matrix=ext),
+    )
 
 
 def main():
@@ -18,48 +83,62 @@ def main():
 
     from lidar_visual_odometry_tpu.data import synthetic
     from lidar_visual_odometry_tpu.eval import metrics
-    from lidar_visual_odometry_tpu.models.pipeline import OdometryPipeline
-    from lidar_visual_odometry_tpu.utils.config import SystemConfig
-
-    n_frames = 41  # 40 odometry frames = 5 chunks of 8 (one compiled chunk shape)
-    seq = synthetic.SyntheticSequence(
-        n_frames=n_frames, width=1800, speed=1.0, yaw_rate=0.004, noise=0.01
+    from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+        CamLidarPipeline,
     )
-    # deterministic scans: cache renders to disk (raycasting costs ~2 min)
-    import os
+    from lidar_visual_odometry_tpu.models.pipeline import (
+        FullPipeline, OdometryPipeline,
+    )
 
-    cache = os.path.join(os.path.dirname(__file__), ".bench_scans.npz")
-    if os.path.exists(cache):
-        data = np.load(cache)
-        scans = [data[f"s{k}"] for k in range(n_frames)]
-    else:
-        scans = [seq.scan(k) for k in range(n_frames)]
-        np.savez_compressed(cache, **{f"s{k}": s for k, s in enumerate(scans)})
-    gt = np.stack([seq.pose(k)[1] for k in range(n_frames)])
+    seq = synthetic.SyntheticSequence(
+        n_frames=N_FRAMES, width=1800, speed=1.0, yaw_rate=0.004, noise=0.01
+    )
+    scans, images = _load_or_render(seq)
+    gt = np.stack([seq.pose(k)[1] for k in range(N_FRAMES)])
+    cfg = _config()
 
-    # warmup / compile
-    pipe = OdometryPipeline(SystemConfig())
-    pipe.run_chunked(scans[:9], chunk=8, quantize=True)
-
-    pipe = OdometryPipeline(SystemConfig())
+    # ---- 1. lidar odometry (headline) ----
+    OdometryPipeline(cfg).run_chunked(scans[:9], chunk=8, quantize=True)  # warm
+    pipe = OdometryPipeline(cfg)
     t0 = time.time()
     result = pipe.run_chunked(scans, chunk=8, quantize=True)
-    wall = time.time() - t0
-    fps = (n_frames - 1) / wall
+    odo_fps = (N_FRAMES - 1) / (time.time() - t0)
+    ate_odom = metrics.ate_rmse(result.positions, gt)
 
-    ate = metrics.ate_rmse(result.positions, gt)
-    device = str(jax.devices()[0])
+    # ---- 2. fused SLAM: odometry + device voxel map ----
+    FullPipeline(cfg).run_chunked(scans[:9], chunk=8)  # warm
+    slam = FullPipeline(cfg)
+    t0 = time.time()
+    odo_r, map_r = slam.run_chunked(scans, chunk=8)
+    slam_fps = (N_FRAMES - 1) / (time.time() - t0)
+    ate_mapped = metrics.ate_rmse(map_r.positions, gt)
+
+    # ---- 3. combined camera + lidar (fused visual chunk) ----
+    CamLidarPipeline(cfg).run_chunked(scans[:9], images[:9], chunk=8)  # warm
+    cl = CamLidarPipeline(cfg)
+    t0 = time.time()
+    cl_r = cl.run_chunked(scans, images, chunk=8)
+    cl_fps = (N_FRAMES - 1) / (time.time() - t0)
+    R0, t00 = seq.pose(0)
+    gt_rel = np.stack(
+        [R0.T @ (seq.pose(k)[1] - t00) for k in range(N_FRAMES)]
+    )
+    ate_visual = metrics.ate_rmse(cl_r.visual_positions, gt_rel, align=False)
 
     print(
         json.dumps(
             {
                 "metric": "lidar_odometry_frames_per_s",
-                "value": round(fps, 2),
+                "value": round(odo_fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 10.0, 2),
-                "ate_rmse_m": round(ate, 4),
-                "frames": n_frames - 1,
-                "device": device,
+                "vs_baseline": round(odo_fps / 10.0, 2),
+                "ate_rmse_m": round(ate_odom, 4),
+                "slam_frames_per_s": round(slam_fps, 2),
+                "ate_mapped_m": round(ate_mapped, 4),
+                "camlidar_frames_per_s": round(cl_fps, 2),
+                "ate_visual_m": round(ate_visual, 4),
+                "frames": N_FRAMES - 1,
+                "device": str(jax.devices()[0]),
             }
         )
     )

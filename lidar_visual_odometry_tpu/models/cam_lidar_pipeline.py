@@ -94,10 +94,7 @@ class CamLidarPipeline:
             # drops unmatched clouds)
             img_idx = pairing[k]
             if img_idx >= 0:
-                cam_pts = self._cloud_to_camera(raw)
-                sel = cam_pts[:, 2] > 0.3
-                cam_pts = cam_pts[sel][: cam_capacity]
-                cxyz, cmask = pc.pad_points(cam_pts, cam_capacity)
+                cxyz, cmask = self._cam_cloud(raw)
                 pose_c = self.vo.process(
                     jnp.asarray(np.asarray(images[img_idx], np.float32)),
                     jnp.asarray(cxyz),
@@ -116,4 +113,109 @@ class CamLidarPipeline:
             visual_positions=np.stack([np.asarray(p.t) for p in visual_poses]),
             lidar_quats=np.stack([np.asarray(p.q) for p in lidar_poses]),
             visual_quats=np.stack([np.asarray(p.q) for p in visual_poses]),
+        )
+
+    def _cam_cloud(self, raw: np.ndarray):
+        cam_capacity = self.cfg.visual.depth_cloud_cap
+        cam_pts = self._cloud_to_camera(raw)
+        cam_pts = cam_pts[cam_pts[:, 2] > 0.3]
+        if cam_pts.shape[0] > cam_capacity:
+            # strided subsample: scan order is azimuth-major, so a plain
+            # [:cap] truncation would keep one azimuth wedge and leave most
+            # of the image without depth
+            stride = -(-cam_pts.shape[0] // cam_capacity)
+            cam_pts = cam_pts[::stride][:cam_capacity]
+        return pc.pad_points(cam_pts, cam_capacity)
+
+    def run_chunked(self, scans: list, images: list, chunk: int = 8,
+                    progress: bool = False) -> CamLidarResult:
+        """The fused fast path: per chunk ONE lidar device program
+        (odometry_chunk_quantized) + ONE visual device program
+        (visual_frontend.visual_chunk), both dispatched asynchronously —
+        2 dispatches per K frames instead of ~5 per frame. Assumes
+        1:1 scan/image pairing (the dataset-eval/bench mode)."""
+        import time
+
+        import jax
+
+        n = len(scans)
+        assert len(images) == n
+
+        # frame 0 bootstraps both carried states
+        raw0 = np.asarray(scans[0])[:, :3]
+        xyz0, mask0 = pc.pad_points(raw0, self.capacity)
+        reg0 = sr.register_scan(
+            jnp.asarray(xyz0), jnp.asarray(mask0), self.cfg.lidar
+        )
+        odo_state = lo.init_state(reg0.features)
+        cxyz0, cmask0 = self._cam_cloud(raw0)
+        vis_state = vf.init_chunk_state(
+            jnp.asarray(np.asarray(images[0], np.float32)),
+            jnp.asarray(cxyz0), jnp.asarray(cmask0),
+            self.cam, self.cfg.visual,
+        )
+
+        t0 = time.time()
+        # stage all H2D uploads first (transfers don't overlap compute on
+        # the tunneled TPU; batch them ahead of the dispatch loop)
+        device_chunks = []
+        cam_capacity = self.cfg.visual.depth_cloud_cap
+        for s in range(1, n, chunk):
+            batch = list(range(s, min(s + chunk, n)))
+            qs = np.zeros((chunk, self.capacity, 3), np.uint16)
+            counts = np.zeros((chunk,), np.int32)
+            imgs = np.zeros((chunk, *np.asarray(images[0]).shape), np.float32)
+            cxyz = np.zeros((chunk, cam_capacity, 3), np.float32)
+            cmask = np.zeros((chunk, cam_capacity), bool)
+            for i, k in enumerate(batch):
+                raw = np.asarray(scans[k])[:, :3]
+                qs[i], counts[i] = lo.quantize_scan(raw, self.capacity)
+                imgs[i] = np.asarray(images[k], np.float32)
+                cxyz[i], cmask[i] = self._cam_cloud(raw)
+            device_chunks.append(tuple(map(jnp.asarray,
+                                           (qs, counts, imgs, cxyz, cmask))))
+
+        lq, lt, vq, vt = [], [], [], []
+        for dq, dc_, dimgs, dcx, dcm in device_chunks:
+            odo_state, poses_l = lo.odometry_chunk_quantized(
+                odo_state, dq, dc_, self.cfg.lidar, self.cfg.odometry
+            )
+            vis_state, poses_c = vf.visual_chunk(
+                vis_state, dimgs, dcx, dcm, self.cam, self.cfg.visual
+            )
+            lq.append(poses_l.q)
+            lt.append(poses_l.t)
+            vq.append(poses_c.q)
+            vt.append(poses_c.t)
+        jax.block_until_ready(vt[-1])
+        np.asarray(vt[-1])  # axon: force a real D2H drain
+        wall = time.time() - t0
+
+        ident_q = np.array([[1.0, 0, 0, 0]], np.float32)
+        zero_t = np.zeros((1, 3), np.float32)
+        lidar_q = np.concatenate([ident_q] + [np.asarray(q) for q in lq])[:n]
+        lidar_t = np.concatenate([zero_t] + [np.asarray(t) for t in lt])[:n]
+        cam_q = np.concatenate([ident_q] + [np.asarray(q) for q in vq])[:n]
+        cam_t = np.concatenate([zero_t] + [np.asarray(t) for t in vt])[:n]
+
+        # map camera-world poses to the lidar frame (CamLidarProcess.cpp:284-293)
+        vis_q, vis_t = [], []
+        for k in range(n):
+            p = se3.se3_compose(
+                se3.se3_compose(
+                    self.T_lidar_cam,
+                    se3.Pose(jnp.asarray(cam_q[k]), jnp.asarray(cam_t[k])),
+                ),
+                self.T_cam_lidar,
+            )
+            vis_q.append(np.asarray(p.q))
+            vis_t.append(np.asarray(p.t))
+
+        if progress:
+            print(f"cam-lidar fused: {n} frames in {wall:.2f}s "
+                  f"→ {(n - 1) / wall:.1f} fps")
+        self.last_wall = wall
+        return CamLidarResult(
+            lidar_positions=lidar_t, visual_positions=np.stack(vis_t),
+            lidar_quats=lidar_q, visual_quats=np.stack(vis_q),
         )

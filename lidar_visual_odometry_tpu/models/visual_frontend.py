@@ -252,20 +252,28 @@ def solve_pose(
     epi_ok: jax.Array,
     cfg: VisualConfig,
 ) -> se3.Pose:
-    """The 150-iteration GN of Frontend::trackfeature with staged gates.
+    """The ≤150-iteration GN of Frontend::trackfeature with staged gates and
+    the |δ| < gn_tol early-out (Frontend.cpp:401,443-447) as a while_loop.
+
+    The stage boundaries are the reference's absolute iteration counts
+    (epipolar rows fade at 25, outlier rejection engages at 70,
+    Frontend.cpp:555,690-693) — with the default gn_iters=150 both stages
+    are reachable; a deliberately shortened schedule (< 70) disables the
+    rejection, exactly as it would in the reference.
 
     pose0: initial T_cur_prev (previous frame → current frame).
     """
-    n_with_depth0 = jnp.sum(has_depth)
+    epi_stage = 25
+    rej_stage = 70
 
-    def body(carry, it):
-        pose, mean_prev, n_depth_prev = carry
+    def body(carry):
+        pose, mean_prev, n_depth_prev, it, _ = carry
         # epipolar rows active when translation is significant and either few
         # depth rows or early iterations (Frontend.cpp:555,607)
         use_epi = (
             epi_ok
             & (jnp.linalg.norm(pose.t) > 0.1)
-            & ((n_depth_prev < 50) | (it < 25))
+            & ((n_depth_prev < 50) | (it < epi_stage))
         )
         re, Je, we = _epipolar_system(pose, un0, un1, use_epi.astype(jnp.float32))
         we = we * 3.0  # epipolar scale (Frontend.cpp:609-616)
@@ -275,7 +283,7 @@ def solve_pose(
             cfg.huber_reproj, 1.0,
         )
         # staged outlier rejection vs 2× previous mean (Frontend.cpp:690-693)
-        keep = (n_depth_prev < 300) | (it < 70) | (e < 2.0 * mean_prev)
+        keep = (n_depth_prev < 300) | (it < rej_stage) | (e < 2.0 * mean_prev)
         wd = wd * keep.astype(jnp.float32)
 
         n_depth = jnp.sum(has_depth & keep)
@@ -301,12 +309,20 @@ def solve_pose(
             ),
             pose.t + delta[:3],
         )
-        return (pose, mean, n_depth), None
+        # reference break: rot-update ypr norm < 1e-5 AND 10·|dt| < 1e-5
+        # (Frontend.cpp:443-447); gn_tol=0 forces the full schedule
+        converged = (jnp.linalg.norm(delta[3:]) < cfg.gn_tol) & (
+            10.0 * jnp.linalg.norm(delta[:3]) < cfg.gn_tol
+        )
+        return (pose, mean, n_depth, it + 1, converged)
 
-    init = (pose0, jnp.float32(1e5), jnp.int32(0))
-    (pose, _, _), _ = jax.lax.scan(
-        body, init, jnp.arange(cfg.gn_iters)
-    )
+    def cond(carry):
+        _, _, _, it, converged = carry
+        return (it < cfg.gn_iters) & ~converged
+
+    init = (pose0, jnp.float32(1e5), jnp.int32(0), jnp.int32(0),
+            jnp.array(False))
+    pose, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     return pose
 
 
@@ -461,6 +477,82 @@ def visual_step(
 
 _replenish_jit = jax.jit(_replenish, static_argnames=("cfg",))
 _clahe_jit = jax.jit(image.clahe, static_argnames=("grid", "clip_limit", "n_bins"))
+
+
+class VisualChunkState(NamedTuple):
+    """Carried state of the fused K-frame visual program."""
+
+    table: FeatureTable
+    pose_w: se3.Pose
+    warm_rel: se3.Pose
+    prev_pyr: tuple          # previous frame's image pyramid
+    prev_dc: DepthCloud
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def visual_chunk(
+    state: VisualChunkState,
+    imgs: jax.Array,         # (K, H, W) float32 in [0, 1]
+    clouds: jax.Array,       # (K, M, 3) camera-frame lidar points
+    cloud_masks: jax.Array,  # (K, M)
+    cam,
+    cfg: VisualConfig,
+) -> tuple[VisualChunkState, se3.Pose]:
+    """K frames of the FULL visual frontend in one device program.
+
+    The per-frame path (CLAHE → pyramid → LK fwd/rev → depth assoc →
+    pose GN → replenish) runs as three dispatches per frame in
+    ``visual_step``; on the tunneled TPU each dispatch costs ~RPC latency
+    and the stages can't fuse. Here a ``lax.scan`` carries (feature table,
+    pose, warm start, previous pyramid + depth cloud) across K frames —
+    one dispatch per chunk, mirroring ``lidar_odometry.odometry_chunk``.
+
+    Returns (state, stacked world poses (K,)).
+    """
+    def step(carry: VisualChunkState, frame):
+        img, pts, m = frame
+        if cfg.use_clahe:
+            img = image.clahe(
+                img, grid=cfg.clahe_grid, clip_limit=cfg.clahe_clip
+            )
+        pyr = tuple(image.build_pyramid(img, cfg.lk_levels))
+        dc = build_depth_cloud(pts, m)
+        uv1, ok = lk.track_pyramid_reverse_checked(
+            carry.prev_pyr, pyr, carry.table.uv,
+            win=cfg.lk_window, iters=cfg.lk_iters, levels=cfg.lk_levels,
+            max_reverse_err=cfg.reverse_check_px,
+        )
+        table, rel, pose_w = solve_and_update(
+            uv1, ok, carry.prev_dc, carry.table, carry.pose_w,
+            carry.warm_rel, cam, cfg,
+        )
+        table = _replenish(table, pyr[0], cam, pose_w, cfg)
+        new_carry = VisualChunkState(table, pose_w, rel, pyr, dc)
+        return new_carry, (pose_w.q, pose_w.t)
+
+    state, (qs, ts) = jax.lax.scan(
+        step, state, (imgs, clouds, cloud_masks)
+    )
+    return state, se3.Pose(qs, ts)
+
+
+def init_chunk_state(
+    img0: jax.Array, pts0: jax.Array, mask0: jax.Array, cam,
+    cfg: VisualConfig,
+) -> VisualChunkState:
+    """Bootstrap the chunk carry from frame 0 (replenish-only, no tracking)."""
+    if cfg.use_clahe:
+        img0 = _clahe_jit(
+            img0, grid=cfg.clahe_grid, clip_limit=cfg.clahe_clip
+        )
+    pyr = tuple(image.build_pyramid(img0, cfg.lk_levels))
+    dc = build_depth_cloud(pts0, mask0)
+    table = _replenish_jit(
+        empty_table(cfg.max_tracked), pyr[0], cam, se3.identity_pose(), cfg
+    )
+    return VisualChunkState(
+        table, se3.identity_pose(), se3.identity_pose(), pyr, dc
+    )
 
 
 class VisualOdometry:

@@ -75,12 +75,22 @@ def track_pyramid(
     d = jnp.zeros_like(uv0) / scale_top
     ok_all = jnp.ones(uv0.shape[0], bool)
     on_tpu = jax.default_backend() == "tpu"
+    # the Pallas kernel samples an aligned (rows, 256) VMEM strip per patch;
+    # a pyramid level smaller than the strip (small top levels of small
+    # cameras) would slice out of bounds and clip(yi, 0, H-win-2) gets a
+    # negative bound — gate those levels onto the XLA path
+    strip_rows = ((win + 1 + 7) // 8 + 1) * 8
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
         img0 = pyr0[lvl]
         img1 = pyr1[lvl]
         gx, gy = gradients(img0)
-        if on_tpu and uv0.shape[0] % 8 == 0:
+        fits = (
+            img0.shape[0] >= strip_rows
+            and img0.shape[0] - win - 2 >= 0
+            and img0.shape[1] - win - 2 >= 0
+        )
+        if on_tpu and uv0.shape[0] % 8 == 0 and fits:
             # gather-free Pallas kernel: pyramid level resident in VMEM,
             # patches via aligned slices + rolls (ops/pallas_lk.py)
             from . import pallas_lk

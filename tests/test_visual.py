@@ -89,6 +89,45 @@ class TestSolvePose:
         err = se3.se3_log(se3.se3_compose(se3.se3_inverse(true_rel), est))
         assert float(jnp.abs(err).max()) < 1e-3, np.asarray(err)
 
+    def test_staged_rejection_gates_outliers(self, rng):
+        """The iter≥70 outlier-rejection stage (Frontend.cpp:690-693) must
+        measurably improve the pose on contaminated correspondences: the
+        same problem solved with a schedule that never reaches the stage
+        (gn_iters=69 — the round-1 dead-gate configuration) stays biased."""
+        true_rel = se3.se3_exp(
+            jnp.asarray([0.12, -0.05, 0.25, 0.008, -0.015, 0.01], jnp.float32)
+        )
+        n = 512  # > 300 so the n_depth gate arm doesn't bypass rejection
+        pts_prev = np.stack(
+            [rng.uniform(-4, 4, n), rng.uniform(-2, 2, n),
+             rng.uniform(4, 20, n)], axis=-1,
+        ).astype(np.float32)
+        p_cur = np.asarray(se3.se3_apply(true_rel, jnp.asarray(pts_prev)))
+        un0 = pts_prev[:, :2] / pts_prev[:, 2:]
+        un1 = p_cur[:, :2] / p_cur[:, 2:]
+        # 20% gross outliers: bogus matches displaced ~0.05 on the
+        # normalized plane (≈ 35 px at KITTI focal length)
+        bad = rng.random(n) < 0.2
+        un1 = un1 + bad[:, None] * rng.normal(0, 0.05, (n, 2))
+        un0, un1 = jnp.asarray(un0), jnp.asarray(un1.astype(np.float32))
+        depth = jnp.asarray(pts_prev[:, 2])
+        ones, zeros = jnp.ones(n, bool), jnp.zeros(n, bool)
+
+        def err_of(est):
+            e = se3.se3_log(se3.se3_compose(se3.se3_inverse(true_rel), est))
+            return float(jnp.abs(e).max())
+
+        gated = err_of(vf.solve_pose(
+            se3.identity_pose(), un0, un1, depth, ones, zeros,
+            VisualConfig(gn_iters=150, gn_tol=0.0),
+        ))
+        ungated = err_of(vf.solve_pose(
+            se3.identity_pose(), un0, un1, depth, ones, zeros,
+            VisualConfig(gn_iters=69, gn_tol=0.0),
+        ))
+        assert gated < 0.5 * ungated, (gated, ungated)
+        assert gated < 5e-3, gated
+
 
 class TestVisualOdometryEndToEnd:
     def test_two_frame_motion(self):
@@ -135,3 +174,66 @@ class TestVisualOdometryEndToEnd:
         t_est = np.asarray(pose_w.t)
         err = np.linalg.norm(t_est - t_gt)
         assert err < 0.08, (t_est, t_gt)
+
+
+class TestVisualChunk:
+    def test_fused_chunk_matches_per_frame_path(self):
+        """visual_chunk (K frames in one lax.scan program) must reproduce the
+        per-frame visual_step driver's poses exactly — same math, one
+        dispatch per chunk instead of three per frame."""
+        scene = synthetic.BoxScene.corridor(0)
+        cam = make_cam()
+        cfg = VisualConfig(
+            gn_iters=40, lk_levels=3, lk_window=15,
+            grid_rows=3, grid_cols=8, max_tracked=256,
+            max_features_per_cell=5, depth_cloud_cap=8192,
+        )
+        rng = np.random.default_rng(0)
+
+        imgs, clouds, masks = [], [], []
+        for k in range(4):
+            R, t = synthetic.camera_from_velodyne_pose(
+                synthetic.yaw_matrix(0.004 * k),
+                np.array([0.4 * k, 0.0, 1.5]),
+            )
+            img, depth = synthetic.render_image(scene, R, t, **CAM)
+            ys = rng.integers(0, CAM["height"], 4096)
+            xs = rng.integers(0, CAM["width"], 4096)
+            z = depth[ys, xs]
+            okm = np.isfinite(z)
+            pts_cam = np.stack(
+                [(xs - CAM["cx"]) / CAM["fx"] * np.where(okm, z, 1.0),
+                 (ys - CAM["cy"]) / CAM["fy"] * np.where(okm, z, 1.0),
+                 np.where(okm, z, 1.0)], -1).astype(np.float32)
+            from lidar_visual_odometry_tpu.ops import pointcloud as pc
+
+            cxyz, cmask = pc.pad_points(pts_cam, cfg.depth_cloud_cap)
+            cmask &= np.concatenate(
+                [okm, np.zeros(cfg.depth_cloud_cap - okm.shape[0], bool)]
+            )
+            imgs.append(img)
+            clouds.append(cxyz)
+            masks.append(cmask)
+
+        # per-frame reference
+        vo = vf.VisualOdometry(cam, cfg)
+        ref = [np.asarray(vo.process(
+            jnp.asarray(imgs[k]), jnp.asarray(clouds[k]), jnp.asarray(masks[k])
+        ).t) for k in range(4)]
+
+        # fused chunk
+        st = vf.init_chunk_state(
+            jnp.asarray(imgs[0]), jnp.asarray(clouds[0]),
+            jnp.asarray(masks[0]), cam, cfg,
+        )
+        st, poses = vf.visual_chunk(
+            st,
+            jnp.asarray(np.stack(imgs[1:])),
+            jnp.asarray(np.stack(clouds[1:])),
+            jnp.asarray(np.stack(masks[1:])),
+            cam, cfg,
+        )
+        got = np.asarray(poses.t)
+        # same math; tolerance covers XLA reassociation between the fused
+        # and split compilations (observed ~1e-5 drift over 3 frames)
+        np.testing.assert_allclose(got, np.stack(ref[1:]), atol=5e-4)
