@@ -21,6 +21,8 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -28,9 +30,10 @@ from ..ops import camera as cam_ops
 from ..ops import gn, image, se3
 from .keyframe import Keyframe
 
-# 4-pixel sparse patch (Tracker2.h:41-44)
-PATCH = jnp.asarray(
-    [[1.0, -1.0], [1.0, 1.0], [-1.0, -1.0], [-1.0, 1.0]], jnp.float32
+# 4-pixel sparse patch (Tracker2.h:41-44); numpy so importing the module
+# never eagerly initializes a JAX backend
+PATCH = np.asarray(
+    [[1.0, -1.0], [1.0, 1.0], [-1.0, -1.0], [-1.0, 1.0]], np.float32
 )
 
 

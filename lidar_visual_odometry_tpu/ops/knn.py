@@ -19,10 +19,12 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)  # np scalar: no eager backend init at import
 
 
 def pairwise_sqdist(

@@ -21,13 +21,15 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BAKE_FAR = 1e6  # masked candidates are moved here (distance² ≈ 1e12)
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)  # np scalar: no eager backend init at import
 
 
 def bake_mask(xyz: jax.Array, mask: jax.Array) -> jax.Array:
