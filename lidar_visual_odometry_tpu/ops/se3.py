@@ -188,9 +188,12 @@ def so3_exp(w: jax.Array) -> jax.Array:
     Taylor-guarded like the reference's ``expAndTheta`` (Twist.h:259-288).
     """
     theta_sq = jnp.sum(w * w, axis=-1, keepdims=True)
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-32))
-    half = 0.5 * theta
     small = theta_sq < _SMALL_ANGLE
+    # "safe where": the untaken exact branch must stay NaN-free under
+    # autodiff (d/dw sqrt at 0 → inf, and where() grads flow through BOTH
+    # branches), so evaluate it at a clamped theta
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta_sq))
+    half = 0.5 * theta
     # sin(x/2)/x — series: 1/2 - x^2/48
     k = jnp.where(small, 0.5 - theta_sq / 48.0, jnp.sin(half) / theta)
     cw = jnp.where(small, 1.0 - theta_sq / 8.0, jnp.cos(half))
@@ -203,14 +206,15 @@ def so3_log(q: jax.Array) -> jax.Array:
     q = jnp.where(q[..., :1] >= 0, q, -q)
     w = q[..., :1]
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    # atan2 formulation is stable everywhere except vn ~ 0.
-    small = vn < _SMALL_ANGLE
-    safe_vn = jnp.where(small, 1.0, vn)
+    vn_sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = vn_sq < _SMALL_ANGLE * _SMALL_ANGLE
+    # atan2 formulation is stable everywhere except vn ~ 0; safe-where keeps
+    # the untaken branch NaN-free under autodiff
+    safe_vn = jnp.sqrt(jnp.where(small, 1.0, vn_sq))
     angle_over_vn = jnp.where(
         small,
         2.0 / jnp.maximum(w, 1e-12),  # series: 2/w - 2 vn^2/(3 w^3) ~ 2
-        2.0 * jnp.arctan2(vn, w) / safe_vn,
+        2.0 * jnp.arctan2(safe_vn, w) / safe_vn,
     )
     return angle_over_vn * v
 
@@ -223,13 +227,14 @@ def so3_log(q: jax.Array) -> jax.Array:
 def _so3_left_jacobian(w: jax.Array) -> jax.Array:
     """V matrix of se3 exp: V = I + (1-cos θ)/θ² W + (θ-sin θ)/θ³ W²."""
     theta_sq = jnp.sum(w * w, axis=-1)[..., None, None]
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-32))
+    small = theta_sq < _SMALL_ANGLE
+    safe_sq = jnp.where(small, 1.0, theta_sq)   # NaN-free untaken branch
+    theta = jnp.sqrt(safe_sq)
     W = so3_hat(w)
     W2 = W @ W
-    small = theta_sq < _SMALL_ANGLE
-    a = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / theta_sq)
+    a = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / safe_sq)
     b = jnp.where(
-        small, 1.0 / 6.0 - theta_sq / 120.0, (theta - jnp.sin(theta)) / (theta_sq * theta)
+        small, 1.0 / 6.0 - theta_sq / 120.0, (theta - jnp.sin(theta)) / (safe_sq * theta)
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a * W + b * W2
@@ -238,16 +243,17 @@ def _so3_left_jacobian(w: jax.Array) -> jax.Array:
 def _so3_left_jacobian_inv(w: jax.Array) -> jax.Array:
     """V^{-1} closed form (used by se3_log)."""
     theta_sq = jnp.sum(w * w, axis=-1)[..., None, None]
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-32))
+    small = theta_sq < _SMALL_ANGLE
+    safe_sq = jnp.where(small, 1.0, theta_sq)   # NaN-free untaken branch
+    theta = jnp.sqrt(safe_sq)
     W = so3_hat(w)
     W2 = W @ W
-    small = theta_sq < _SMALL_ANGLE
     half = 0.5 * theta
     # (1 - θ/2 · cot(θ/2)) / θ²  — series 1/12 + θ²/720
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + theta_sq / 720.0,
-        (1.0 - half * jnp.cos(half) / jnp.maximum(jnp.sin(half), 1e-24)) / theta_sq,
+        (1.0 - half * jnp.cos(half) / jnp.maximum(jnp.sin(half), 1e-24)) / safe_sq,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye - 0.5 * W + cot_term * W2

@@ -158,3 +158,29 @@ class TestYPR:
             [np.cos(0.5), -np.sin(0.5), 0], [np.sin(0.5), np.cos(0.5), 0], [0, 0, 1],
         ])
         np.testing.assert_allclose(R, want, atol=1e-6)
+
+
+class TestAutodiffSafety:
+    def test_exp_gradient_at_zero_twist(self):
+        """d/dξ exp(ξ)·p at ξ=0 must be the analytic [I | −p^] with no NaNs
+        (the Taylor guards must use the safe-where pattern — autodiff flows
+        through BOTH where() branches)."""
+        import jax
+
+        p = jnp.asarray([0.4, -0.3, 5.0], jnp.float32)
+        J = jax.jacobian(lambda d: se3.se3_apply(se3.se3_exp(d), p))(
+            jnp.zeros(6, jnp.float32)
+        )
+        want = np.concatenate(
+            [np.eye(3), -np.asarray(se3.so3_hat(p[None]))[0]], axis=-1
+        )
+        assert np.isfinite(np.asarray(J)).all()
+        np.testing.assert_allclose(np.asarray(J), want, atol=1e-5)
+
+    def test_log_gradient_at_identity(self):
+        import jax
+
+        g = jax.jacobian(
+            lambda q: se3.so3_log(se3.quat_normalize(q))
+        )(jnp.asarray([1.0, 0, 0, 0], jnp.float32))
+        assert np.isfinite(np.asarray(g)).all()
