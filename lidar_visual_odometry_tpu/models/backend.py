@@ -155,12 +155,14 @@ def solve_window(
             rs.append(_imu_residual(st, i, di, g) * imu_weight)
             rel = se3.Pose(odom_rel.q[i], odom_rel.t[i])
             rs.append(_between_residual(st, i, i + 1, rel) * odom_weight)
-        # prior pins state 0 (gauge)
+        # prior pins state 0's POSE only (the 6-dof gauge); velocity is
+        # observable from IMU + between-factors and must stay free — pinning
+        # it to a noisy warm start makes the whole window dead-reckon from a
+        # wrong v0 (≈0.3 m/s of odometry noise ⇒ ~0.2 m over the window)
         rs.append(
             jnp.concatenate(
                 [st.p[0] - state0.p[0],
-                 se3.so3_log(se3.quat_mul(st.q[0], se3.quat_conj(state0.q[0]))),
-                 st.v[0] - state0.v[0]]
+                 se3.so3_log(se3.quat_mul(st.q[0], se3.quat_conj(state0.q[0])))]
             )
             * prior_weight
         )

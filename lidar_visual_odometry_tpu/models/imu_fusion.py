@@ -1,0 +1,160 @@
+"""IMU-fused lidar odometry driver (wires L6 + V15 end-to-end).
+
+The reference ships the pieces but never connects them: adjustPointCloud
+bundles IMU samples per lidar frame and derotates clouds
+(``src/adjustPointCloud.cpp:144-247``), and BackEndSolver holds a dormant
+ISAM2 smoother (``src/vloam/BackEndSolver.cpp:22-385``, constructed nowhere).
+This driver closes the loop the way the reference intended:
+
+    scans ──► LidarOdometry ──► relative poses ─┐
+    IMU  ──► bundle (sync.bundle_imu semantics) ├─► solve_window (sliding
+             └► preintegrate (backend)          ┘    GN factor graph)
+
+Per frame: preintegrate the frame's IMU bundle into an ``ImuDelta``, take the
+odometry relative pose as a between-factor, and re-solve the K-state window
+(IMU + odometry + gauge prior) — the TPU-native equivalent of the reference's
+CombinedImuFactor + BetweenFactor graph. Optionally derotates incoming scans
+by the IMU-integrated roll/pitch first (adjustPointCloud's republish loop).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data import sync
+from ..ops import pointcloud as pc, se3
+from ..utils.config import OdometryConfig, SystemConfig
+from . import lidar_odometry as lo, scan_registration as sr
+from .backend import ImuDelta, WindowState, preintegrate, solve_window
+
+
+class ImuFusedOdometry:
+    """Sliding-window IMU + lidar-odometry fusion.
+
+    window: number of states K in the factor graph (reference's smoother
+    keeps the full history; a fixed window keeps shapes static for jit).
+    Until the window fills, the output is plain lidar odometry.
+    """
+
+    def __init__(
+        self,
+        cfg: SystemConfig = SystemConfig(),
+        *,
+        capacity: int = 131072,
+        window: int = 8,
+        frame_period: float = 0.1,
+        imu_weight: float = 1.0,
+        odom_weight: float = 20.0,
+        derotate: bool = False,
+        n_iters: int = 6,
+    ):
+        self.cfg = cfg
+        self.capacity = capacity
+        self.window = window
+        self.frame_period = frame_period
+        self.imu_weight = imu_weight
+        self.odom_weight = odom_weight
+        self.derotate = derotate
+        self.n_iters = n_iters
+
+        self.odom = lo.LidarOdometry(cfg.odometry)
+        self._poses: list[se3.Pose] = []          # raw odometry world poses
+        self._fused: list[se3.Pose] = []          # fused history (anchors)
+        self._deltas: deque[ImuDelta] = deque(maxlen=window - 1)
+        self._rels: deque[se3.Pose] = deque(maxlen=window - 1)
+        self._q_imu = np.array([1.0, 0, 0, 0])    # integrated orientation
+
+    def _integrate_orientation(self, gyro, dts) -> None:
+        """Dead-reckoned IMU orientation for the derotation path."""
+        q = jnp.asarray(self._q_imu, jnp.float32)
+        for w, dt in zip(np.asarray(gyro), np.asarray(dts)):
+            q = se3.quat_normalize(
+                se3.quat_mul(q, se3.so3_exp(jnp.asarray(w * dt, jnp.float32)))
+            )
+        self._q_imu = np.asarray(q, np.float64)
+
+    def process(
+        self,
+        scan: np.ndarray,
+        accel: np.ndarray,   # (M, 3) this frame's IMU bundle (may be empty)
+        gyro: np.ndarray,    # (M, 3)
+        dts: np.ndarray,     # (M,)
+    ) -> se3.Pose:
+        """Feed one scan + its IMU bundle; returns the fused world pose."""
+        if self.derotate and len(accel):
+            self._integrate_orientation(gyro, dts)
+            scan = sync.derotate_cloud(
+                np.asarray(scan)[:, :3], self._q_imu
+            ).astype(np.float32)
+
+        xyz, mask = pc.pad_points(np.asarray(scan)[:, :3], self.capacity)
+        reg = sr.register_scan(
+            jnp.asarray(xyz), jnp.asarray(mask), self.cfg.lidar
+        )
+        pose_w, _ = self.odom.process(reg.features)
+        return self.process_pose(pose_w, accel, gyro, dts)
+
+    def process_pose(
+        self,
+        pose_w: se3.Pose,
+        accel: np.ndarray,
+        gyro: np.ndarray,
+        dts: np.ndarray,
+    ) -> se3.Pose:
+        """Fusion core with a pluggable odometry source: feed one world pose
+        estimate + the frame's IMU bundle (lets tests/benchmarks inject
+        degraded odometry without rendering scans)."""
+        self._poses.append(pose_w)
+
+        if len(self._poses) >= 2:
+            rel = se3.se3_compose(
+                se3.se3_inverse(self._poses[-2]), self._poses[-1]
+            )
+            self._rels.append(rel)
+            if len(accel):
+                d = preintegrate(
+                    jnp.asarray(accel), jnp.asarray(gyro), jnp.asarray(dts)
+                )
+            else:  # no samples this interval: zero-motion delta
+                d = ImuDelta(
+                    jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                    jnp.zeros(3), jnp.zeros(3),
+                    jnp.asarray(self.frame_period, jnp.float32),
+                )
+            self._deltas.append(d)
+
+        k = len(self._poses)
+        if k < self.window:
+            self._fused.append(pose_w)
+            return pose_w
+
+        # window anchored on the FUSED history (the gauge prior pins its
+        # oldest state; raw odometry only contributes between-factors), with
+        # the newest state predicted by composing the latest odometry motion
+        tail = self._fused[-(self.window - 1):] + [
+            se3.se3_compose(self._fused[-1], self._rels[-1])
+        ]
+        qs = jnp.stack([p.q for p in tail])
+        ps = jnp.stack([p.t for p in tail])
+        vs = jnp.concatenate(
+            [(ps[1:] - ps[:-1]) / self.frame_period, jnp.zeros((1, 3))]
+        )
+        state0 = WindowState(q=qs, p=ps, v=vs)
+        deltas = jax.tree.map(lambda *xs: jnp.stack(xs), *self._deltas)
+        rels = se3.Pose(
+            jnp.stack([r.q for r in self._rels]),
+            jnp.stack([r.t for r in self._rels]),
+        )
+        fused = solve_window(
+            state0, deltas, rels,
+            imu_weight=self.imu_weight, odom_weight=self.odom_weight,
+            n_iters=self.n_iters,
+        )
+        out = se3.Pose(fused.q[-1], fused.p[-1])
+        self._fused.append(out)
+        return out
