@@ -127,3 +127,57 @@ class KeyframeWindow:
         vis = kf_b.point_mask & front & cam_ops.is_in_image(cam, uv)
         denom = jnp.maximum(jnp.sum(kf_b.point_mask), 1)
         return float(jnp.sum(vis) / denom)
+
+
+class KeyframeDB:
+    """Append-only keyframe archive (≡ KeyframeDB, ``KeyframeDB.cpp:19-55``).
+
+    The reference keeps every keyframe ever created in a vector next to the
+    FIFO window and offers a debug view projecting the accumulated clouds
+    into the latest keyframe's image. Here the archive stores poses + point
+    clouds host-side (numpy — it grows unboundedly like the reference's),
+    and the debug view is a batched reprojection returning the accumulated
+    (u, v) splats instead of a cv window (the zero-display analog of
+    ``show_image_with_accum_points``).
+    """
+
+    def __init__(self):
+        self.poses: list[se3.Pose] = []
+        self.points: list = []          # np (N, 3) camera-frame clouds
+        self.masks: list = []
+
+    def add(self, kf: Keyframe) -> None:
+        import numpy as np
+
+        self.poses.append(kf.pose_w)
+        self.points.append(np.asarray(kf.points))
+        self.masks.append(np.asarray(kf.point_mask))
+
+    def __len__(self) -> int:
+        return len(self.poses)
+
+    def accum_points_in_latest(
+        self, cam, num_keyframe: int = 5, level: int = 0
+    ):
+        """Project the last ``num_keyframe`` archived clouds into the latest
+        keyframe's image plane (KeyframeDB.cpp:27-48). Returns (uv (M, 2)
+        at the given pyramid level, valid (M,)) — render/plot host-side."""
+        import numpy as np
+
+        assert self.poses, "empty archive"
+        T_wl = self.poses[-1]
+        scale = 0.5 ** level
+        uvs, oks = [], []
+        for pose, pts, m in zip(
+            self.poses[-num_keyframe:], self.points[-num_keyframe:],
+            self.masks[-num_keyframe:],
+        ):
+            T_li = se3.se3_compose(se3.se3_inverse(T_wl), pose)
+            pts_l = se3.se3_apply(T_li, jnp.asarray(pts))
+            uv, front = cam_ops.project(cam, pts_l)
+            ok = jnp.asarray(m) & front & cam_ops.is_in_image(
+                cam, uv, boundary=2.0
+            )
+            uvs.append(np.asarray(uv) * scale)
+            oks.append(np.asarray(ok))
+        return np.concatenate(uvs), np.concatenate(oks)

@@ -95,20 +95,23 @@ class OdometryPipeline:
         # stage 1: pack + enqueue ALL H2D transfers up front so DMA can
         # overlap with compute (a serial pack→transfer→compute loop loses the
         # full transfer latency per chunk on the tunneled TPU)
+        # the final ragged batch pads to `chunk` frames (count/mask 0) so every
+        # dispatch reuses the one compiled K=chunk program (a second remote
+        # XLA compile costs minutes); padded outputs are dropped below
         device_chunks = []
         for s in range(1, len(scans), chunk):
             batch = scans[s:s + chunk]
             if quantize:
-                qs = np.empty((len(batch), self.capacity, 3), np.uint16)
-                counts = np.empty((len(batch),), np.int32)
+                qs = np.zeros((chunk, self.capacity, 3), np.uint16)
+                counts = np.zeros((chunk,), np.int32)
                 for i, pts in enumerate(batch):
                     qs[i], counts[i] = lo.quantize_scan(
                         np.asarray(pts), self.capacity
                     )
                 device_chunks.append((jnp.asarray(qs), jnp.asarray(counts)))
             else:
-                stacked = np.zeros((len(batch), self.capacity, 3), np.float32)
-                masks = np.zeros((len(batch), self.capacity), bool)
+                stacked = np.zeros((chunk, self.capacity, 3), np.float32)
+                masks = np.zeros((chunk, self.capacity), bool)
                 for i, pts in enumerate(batch):
                     stacked[i], masks[i] = pc.pad_points(
                         np.asarray(pts)[:, :3], self.capacity
@@ -129,8 +132,8 @@ class OdometryPipeline:
         wall = time.time() - t0
 
         n = len(scans)
-        qs = np.concatenate([[np.array([1.0, 0, 0, 0], np.float32)]] + [np.asarray(q) for q in chunks_q])
-        ts = np.concatenate([[np.zeros(3, np.float32)]] + [np.asarray(t) for t in chunks_t])
+        qs = np.concatenate([[np.array([1.0, 0, 0, 0], np.float32)]] + [np.asarray(q) for q in chunks_q])[:n]
+        ts = np.concatenate([[np.zeros(3, np.float32)]] + [np.asarray(t) for t in chunks_t])[:n]
         if progress:
             print(f"{n} frames in {wall:.2f}s → {(n - 1)/wall:.1f} fps")
         return TrajectoryResult(ts, qs, per_frame_s=[wall / (n - 1)] * n)
@@ -231,11 +234,13 @@ class FullPipeline:
         map_state = dm.init_state(self.cfg.mapping)
 
         t0 = time.time()
+        # pad the final ragged batch to `chunk` (counts 0) — one compiled
+        # program for every dispatch; padded outputs are dropped below
         device_chunks = []
         for s in range(1, len(scans), chunk):
             batch = scans[s:s + chunk]
-            qs = np.empty((len(batch), self.capacity, 3), np.uint16)
-            counts = np.empty((len(batch),), np.int32)
+            qs = np.zeros((chunk, self.capacity, 3), np.uint16)
+            counts = np.zeros((chunk,), np.int32)
             for i, pts in enumerate(batch):
                 qs[i], counts[i] = lo.quantize_scan(np.asarray(pts), self.capacity)
             device_chunks.append((jnp.asarray(qs), jnp.asarray(counts)))
@@ -256,7 +261,9 @@ class FullPipeline:
         zero_t = np.zeros((1, 3), np.float32)
 
         def cat(first, i):
-            return np.concatenate([first] + [np.asarray(c[i]) for c in chunks])
+            return np.concatenate(
+                [first] + [np.asarray(c[i]) for c in chunks]
+            )[:n]
 
         per = [wall / (n - 1)] * n
         odom = TrajectoryResult(cat(zero_t, 1), cat(ident_q, 0), per_frame_s=per)

@@ -84,6 +84,11 @@ def segment_sum(
     The XLA scatter-add alternative serializes on TPU (~5-10 ms for a 32k
     voxel filter); this is sub-ms MXU work (2·W·S·C flops streamed)."""
     C, W = vals.shape
+    # the per-row (S_pad, chunk) one-hot must fit VMEM (~16 MB total budget);
+    # shrink the point chunk for large segment counts (e.g. the host
+    # cube-map path's 8192-voxel filter: S_pad=8320 → chunk 256 ≈ 8.5 MB)
+    S_pad = -(-n_segments // 128) * 128
+    chunk = min(chunk, max(128, (10 * 2**20 // (4 * S_pad)) // 128 * 128))
     pad = (-W) % chunk
     if pad:
         seg_id = jnp.concatenate(

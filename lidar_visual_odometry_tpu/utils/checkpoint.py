@@ -1,21 +1,35 @@
 """Checkpoint / resume for long odometry runs.
 
 The reference has no checkpointing at all (SURVEY.md §5: "a crash loses the
-run"); this module adds it: the odometry feature state, the mapping cube
-store, the drift correction, and the trajectory so far snapshot to one
-``.npz`` — a run can resume mid-sequence, which matters once multi-host runs
-make restarts expensive.
+run"); this module adds it: the odometry feature state, the mapping state
+(host cube store OR the device-resident voxel map), the visual-frontend
+state, and the trajectory so far snapshot to one ``.npz`` — a run can resume
+mid-sequence, which matters once multi-host runs make restarts expensive.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..models.lidar_odometry import OdometryState
 from ..ops import se3
 from ..ops.features import FeatureCloud
+
+
+def _save_tree(prefix: str, tree, out: dict) -> None:
+    """Flatten any pytree of arrays into numbered npz entries."""
+    for i, leaf in enumerate(jax.tree.leaves(tree)):
+        out[f"{prefix}_{i}"] = np.asarray(leaf)
+
+
+def _load_tree(prefix: str, data, template):
+    """Rebuild a pytree from numbered entries using ``template``'s structure."""
+    leaves, treedef = jax.tree.flatten(template)
+    new = [jnp.asarray(data[f"{prefix}_{i}"]) for i in range(len(leaves))]
+    return jax.tree.unflatten(treedef, new)
 
 
 def _flatten_fc(prefix: str, fc: FeatureCloud, out: dict) -> None:
@@ -42,7 +56,12 @@ def save_checkpoint(
     trajectory_q: np.ndarray,
     trajectory_t: np.ndarray,
     mapper=None,
+    device_mapper=None,
+    visual=None,
 ) -> None:
+    """Snapshot to one npz. ``mapper``: host ``LidarMapping`` (cube store);
+    ``device_mapper``: ``DeviceMapping`` (bounded voxel map — the flagship
+    fused path's state); ``visual``: ``VisualOdometry`` frontend state."""
     out: dict = {
         "frame_idx": np.asarray(frame_idx),
         "pose_w_q": np.asarray(odom_state.pose_w.q),
@@ -74,12 +93,26 @@ def save_checkpoint(
             out[f"map_{name}_points"] = (
                 np.concatenate(pts) if pts else np.zeros((0, 3), np.float32)
             )
+
+    if device_mapper is not None:
+        _save_tree("dmap", device_mapper.state, out)
+        out["dmap_frame"] = np.asarray(device_mapper._frame)
+
+    if visual is not None:
+        _save_tree("vis_table", visual.table, out)
+        _save_tree("vis_pose_w", visual.pose_w, out)
+        _save_tree("vis_warm", visual.warm_rel, out)
+        out["vis_has_prev"] = np.asarray(visual.prev_pyr is not None)
+        if visual.prev_pyr is not None:
+            out["vis_pyr_levels"] = np.asarray(len(visual.prev_pyr))
+            _save_tree("vis_pyr", tuple(visual.prev_pyr), out)
+            _save_tree("vis_dc", visual.prev_dc, out)
     np.savez_compressed(path, **out)
 
 
-def load_checkpoint(path: str, mapper=None):
+def load_checkpoint(path: str, mapper=None, device_mapper=None, visual=None):
     """Returns (frame_idx, OdometryState, traj_q, traj_t); restores
-    ``mapper`` in place when given."""
+    ``mapper`` / ``device_mapper`` / ``visual`` in place when given."""
     data = np.load(path)
     state = OdometryState(
         pose_w=se3.Pose(jnp.asarray(data["pose_w_q"]), jnp.asarray(data["pose_w_t"])),
@@ -105,6 +138,25 @@ def load_checkpoint(path: str, mapper=None):
             for k, n in zip(map(tuple, keys), sizes):
                 store.cubes[k] = pts[off:off + n]
                 off += n
+
+    if device_mapper is not None and "dmap_0" in data:
+        device_mapper.state = _load_tree("dmap", data, device_mapper.state)
+        device_mapper._frame = int(data["dmap_frame"])
+
+    if visual is not None and "vis_table_0" in data:
+        visual.table = _load_tree("vis_table", data, visual.table)
+        visual.pose_w = _load_tree("vis_pose_w", data, visual.pose_w)
+        visual.warm_rel = _load_tree("vis_warm", data, visual.warm_rel)
+        if bool(data["vis_has_prev"]):
+            levels = int(data["vis_pyr_levels"])
+            visual.prev_pyr = _load_tree(
+                "vis_pyr", data, tuple(0.0 for _ in range(levels))
+            )
+            from ..models.visual_frontend import DepthCloud
+
+            visual.prev_dc = _load_tree(
+                "vis_dc", data, DepthCloud(0.0, 0.0, 0.0)
+            )
     return (
         int(data["frame_idx"]),
         state,

@@ -135,3 +135,38 @@ class TestDirectVOPipeline:
             gt_t = (tk - t0) @ R0  # world → frame-0 camera coords
             err = np.linalg.norm(est[k] - gt_t)
             assert err < 0.12, (k, est[k], gt_t)
+
+
+class TestKeyframeDB:
+    def test_archive_grows_and_reprojects(self, rng):
+        """Append-only archive (KeyframeDB.cpp:19-55): grows past the FIFO
+        window size, and the accumulated reprojection places a same-pose
+        keyframe's points at their own image coordinates."""
+        scene = synthetic.BoxScene.corridor(0)
+        cam = make_cam()
+        db = kfm.KeyframeDB()
+        kfs = []
+        for k in range(7):   # > the reference's 5-frame window
+            img, depth, R, t = render_at(scene, 0.002 * k, [0.3 * k, 0.0, 1.5])
+            pts, ok = depth_to_points(depth, rng)
+            R_q = se3.matrix_to_quat(jnp.asarray(R, dtype=jnp.float32))
+            kf = kfm.make_keyframe(
+                jnp.asarray(img), cam, jnp.asarray(pts), jnp.asarray(ok),
+                se3.Pose(R_q, jnp.asarray(t, dtype=jnp.float32)),
+                levels=2, cap=512,
+            )
+            db.add(kf)
+            kfs.append(kf)
+        assert len(db) == 7
+
+        uv, ok = db.accum_points_in_latest(cam, num_keyframe=3, level=0)
+        assert ok.sum() > 50
+        # the LAST keyframe's own points (identity relative pose) must land
+        # exactly at their projections
+        from lidar_visual_odometry_tpu.ops import camera as cam_ops
+
+        uv_self, _ = cam_ops.project(cam, kfs[-1].points)
+        m = np.asarray(kfs[-1].point_mask)
+        np.testing.assert_allclose(
+            uv[-m.shape[0]:][m], np.asarray(uv_self)[m], atol=1e-3
+        )

@@ -156,3 +156,102 @@ class TestCheckpoint:
         np.testing.assert_allclose(
             np.asarray(p_resumed.t), np.asarray(p_orig.t), atol=1e-5
         )
+
+    def test_device_map_and_visual_resume_equals_straight_run(self, tmp_path):
+        """The flagship fused path's state (device voxel map + visual
+        frontend) must checkpoint/resume bit-exactly: continuing from a
+        restored snapshot gives the same poses as the uninterrupted run."""
+        import jax.numpy as jnp
+
+        from lidar_visual_odometry_tpu.models import (
+            device_mapping as dm, lidar_odometry as lo,
+            scan_registration as sr,
+        )
+        from lidar_visual_odometry_tpu.models.visual_frontend import (
+            VisualOdometry,
+        )
+        from lidar_visual_odometry_tpu.ops import camera, pointcloud as pc
+        from lidar_visual_odometry_tpu.utils import checkpoint as ck
+        from lidar_visual_odometry_tpu.utils.config import (
+            LidarConfig, MappingConfig, OdometryConfig, VisualConfig,
+        )
+
+        seq = synthetic.SyntheticSequence(n_frames=4, width=600, noise=0.005)
+        lcfg = LidarConfig(azimuth_bins=1024)
+        ocfg = OdometryConfig(outer_iters=4, gn_iters=4)
+        mcfg = MappingConfig(
+            outer_iters=1, gn_iters=2, corner_slot=1024, surf_slot=1024,
+            map_corner_cap=2048, map_surf_cap=2048,
+        )
+        vcfg = VisualConfig(
+            gn_iters=20, lk_levels=2, lk_window=9, grid_rows=2, grid_cols=4,
+            max_tracked=64, max_features_per_cell=8, depth_cloud_cap=2048,
+        )
+        cam = camera.Pinhole(
+            jnp.float32(120.0), jnp.float32(120.0), jnp.float32(160.0),
+            jnp.float32(48.0), 320, 96, jnp.zeros(5),
+        )
+        CAM = dict(fx=120.0, fy=120.0, cx=160.0, cy=48.0,
+                   width=320, height=96)
+
+        def run_frame(odom, mapper, vis, k):
+            xyz, mask = pc.pad_points(seq.scan(k), 131072)
+            reg = sr.register_scan(jnp.asarray(xyz), jnp.asarray(mask), lcfg)
+            pose, _ = odom.process(reg.features)
+            refined = mapper.process(reg.features, pose)
+            R, t = synthetic.camera_from_velodyne_pose(*seq.pose(k))
+            img, depth = synthetic.render_image(scene=seq.scene, R_wc=R,
+                                                t_wc=t, **CAM)
+            rng2 = np.random.default_rng(k)
+            ys = rng2.integers(0, CAM["height"], 1500)
+            xs = rng2.integers(0, CAM["width"], 1500)
+            z = depth[ys, xs]
+            okm = np.isfinite(z)
+            pts_cam = np.stack(
+                [(xs - CAM["cx"]) / CAM["fx"] * np.where(okm, z, 1.0),
+                 (ys - CAM["cy"]) / CAM["fy"] * np.where(okm, z, 1.0),
+                 np.where(okm, z, 1.0)], -1).astype(np.float32)
+            pcm, pmask = pc.pad_points(pts_cam, vcfg.depth_cloud_cap)
+            pmask &= np.concatenate(
+                [okm, np.zeros(vcfg.depth_cloud_cap - okm.shape[0], bool)]
+            )
+            vpose = vis.process(
+                jnp.asarray(img), jnp.asarray(pcm), jnp.asarray(pmask)
+            )
+            return refined, vpose
+
+        odom = lo.LidarOdometry(ocfg)
+        mapper = dm.DeviceMapping(mcfg)
+        vis = VisualOdometry(cam, vcfg)
+        for k in range(2):
+            run_frame(odom, mapper, vis, k)
+
+        path = str(tmp_path / "fused_ckpt.npz")
+        ck.save_checkpoint(
+            path, frame_idx=2, odom_state=odom.state,
+            trajectory_q=np.zeros((2, 4), np.float32),
+            trajectory_t=np.zeros((2, 3), np.float32),
+            device_mapper=mapper, visual=vis,
+        )
+
+        odom2 = lo.LidarOdometry(ocfg)
+        mapper2 = dm.DeviceMapping(mcfg)
+        vis2 = VisualOdometry(cam, vcfg)
+        _, state, _, _ = ck.load_checkpoint(
+            path, device_mapper=mapper2, visual=vis2
+        )
+        odom2.state = state
+        assert mapper2._frame == mapper._frame
+        np.testing.assert_array_equal(
+            np.asarray(mapper2.state.corner_mask),
+            np.asarray(mapper.state.corner_mask),
+        )
+
+        ref_m, ref_v = run_frame(odom, mapper, vis, 2)
+        res_m, res_v = run_frame(odom2, mapper2, vis2, 2)
+        np.testing.assert_allclose(
+            np.asarray(res_m.t), np.asarray(ref_m.t), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_v.t), np.asarray(ref_v.t), atol=1e-6
+        )
