@@ -130,7 +130,8 @@ def _apply_correction(correction: se3.Pose, odom_pose: se3.Pose) -> se3.Pose:
     return se3.se3_compose(correction, odom_pose)
 
 
-@partial(jax.jit, static_argnames=("lidar_cfg", "odom_cfg", "map_cfg"))
+@partial(jax.jit, static_argnames=("lidar_cfg", "odom_cfg", "map_cfg",
+                                   "map_skip"))
 def slam_chunk_quantized(
     odo_state,
     map_state: DeviceMapState,
@@ -139,6 +140,8 @@ def slam_chunk_quantized(
     lidar_cfg,
     odom_cfg,
     map_cfg: MappingConfig,
+    start_idx: jax.Array | int = 0,
+    map_skip: int = 1,
 ):
     """K frames of the FULL lidar stack in one device program: dequantize →
     feature extraction → scan-to-scan GN → scan-to-map GN → map insert.
@@ -148,6 +151,13 @@ def slam_chunk_quantized(
     whose carried state (odometry features + the bounded voxel map) never
     leaves HBM. Returns (odo_state, map_state, odom poses (K,), mapped
     poses (K,)).
+
+    map_skip ≥ 2 runs the scan-to-map solve every map_skip-th frame (global
+    index ``start_idx + i``) and composes the carried wmap_T_odom correction
+    in between — the reference's decoupled ~5 Hz mapping thread
+    (``laserOdometry.cpp:274-276`` skipFrameNum, ``laserMapping.cpp:934``).
+    The mapping stage is ~85% of per-frame device time (NN association), so
+    skip=2 nearly doubles fused-SLAM throughput.
     """
     from .lidar_odometry import QUANT_OFFSET, QUANT_SCALE, odometry_step
     from .scan_registration import register_scan_impl
@@ -156,19 +166,35 @@ def slam_chunk_quantized(
 
     def step(carry, frame):
         odo, mp = carry
-        qp, n = frame
+        qp, n, i = frame
         xyz = qp.astype(jnp.float32) * QUANT_SCALE + QUANT_OFFSET
         mask = idx < n
         feats = register_scan_impl(xyz, mask, lidar_cfg).features
         odo, pose_w = odometry_step(odo, feats, odom_cfg)
-        mp, refined = device_mapping_impl(
-            mp, feats.less_sharp.xyz, feats.less_sharp.mask,
-            feats.less_flat.xyz, feats.less_flat.mask, pose_w, map_cfg,
-        )
+        if map_skip <= 1:
+            mp, refined = device_mapping_impl(
+                mp, feats.less_sharp.xyz, feats.less_sharp.mask,
+                feats.less_flat.xyz, feats.less_flat.mask, pose_w, map_cfg,
+            )
+        else:
+            mp, refined = jax.lax.cond(
+                i % map_skip == 0,
+                lambda mp, pose_w: device_mapping_impl(
+                    mp, feats.less_sharp.xyz, feats.less_sharp.mask,
+                    feats.less_flat.xyz, feats.less_flat.mask,
+                    pose_w, map_cfg,
+                ),
+                lambda mp, pose_w: (
+                    mp, se3.se3_compose(mp.correction, pose_w)
+                ),
+                mp, pose_w,
+            )
         return (odo, mp), (pose_w, refined)
 
+    K = qpts.shape[0]
+    frame_ids = jnp.asarray(start_idx, jnp.int32) + jnp.arange(K, dtype=jnp.int32)
     (odo_state, map_state), (odom_poses, mapped_poses) = jax.lax.scan(
-        step, (odo_state, map_state), (qpts, counts)
+        step, (odo_state, map_state), (qpts, counts, frame_ids)
     )
     return odo_state, map_state, odom_poses, mapped_poses
 

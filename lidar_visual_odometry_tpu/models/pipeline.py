@@ -210,10 +210,14 @@ class FullPipeline:
             print(f"odom+map: {len(scans)} frames in {wall:.2f}s")
         return to_result(odom_poses), to_result(mapped_poses)
 
-    def run_chunked(self, scans, chunk: int = 8, progress: bool = False):
+    def run_chunked(self, scans, chunk: int = 8, progress: bool = False,
+                    map_skip: int | None = None):
         """The fused fast path: K frames of register → scan-to-scan →
         scan-to-map → map insert per device program
         (device_mapping.slam_chunk_quantized). Requires device_map=True.
+
+        map_skip (default cfg.odometry.skip_frame_num) maps every N-th frame
+        — the reference's decoupled mapping cadence.
 
         Returns (odometry TrajectoryResult, mapped TrajectoryResult).
         """
@@ -245,11 +249,14 @@ class FullPipeline:
                 qs[i], counts[i] = lo.quantize_scan(np.asarray(pts), self.capacity)
             device_chunks.append((jnp.asarray(qs), jnp.asarray(counts)))
 
+        if map_skip is None:
+            map_skip = self.cfg.odometry.skip_frame_num
         chunks = []
-        for dq, dc in device_chunks:
+        for ci, (dq, dc) in enumerate(device_chunks):
             odo_state, map_state, op, mp = dm.slam_chunk_quantized(
                 odo_state, map_state, dq, dc,
                 self.cfg.lidar, self.cfg.odometry, self.cfg.mapping,
+                start_idx=1 + ci * chunk, map_skip=map_skip,
             )
             chunks.append((op.q, op.t, mp.q, mp.t))
         jax.block_until_ready(chunks[-1])

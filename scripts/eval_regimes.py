@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=200,
                     help="frames for the long corridor regime")
     ap.add_argument("--width", type=int, default=1800)
+    ap.add_argument("--sweep-outer", action="store_true",
+                    help="also sweep mapping outer_iters on the rotation "
+                         "regime (justifies the 2-vs-10 schedule)")
     args = ap.parse_args()
 
     import jax
@@ -106,6 +109,34 @@ def main() -> None:
             row["t_rel_err"] = str(e)[:60]
         rows.append(row)
         print(json.dumps(row), flush=True)
+
+    if args.sweep_outer:
+        # mapping iteration-schedule sweep (reference: 10 outer x 4 GN,
+        # laserMapping.cpp:562,715) on the rotation-heavy regime
+        import dataclasses
+
+        from lidar_visual_odometry_tpu.utils.config import MappingConfig
+
+        seq = regimes["rotation_heavy"]
+        scans = [seq.scan(k) for k in range(seq.n_frames)]
+        R0, t0 = seq.pose(0)
+        gt = np.stack(
+            [R0.T @ (seq.pose(k)[1] - t0) for k in range(seq.n_frames)]
+        )
+        for outer in (1, 2, 4, 10):
+            cfg = SystemConfig(
+                mapping=MappingConfig(outer_iters=outer)
+            )
+            _, mapped = FullPipeline(cfg).run_chunked(scans, chunk=8)
+            row = {
+                "sweep": "mapping_outer_iters",
+                "outer_iters": outer,
+                "ate_mapped_m": round(
+                    metrics.ate_rmse(mapped.positions, gt, align=False), 4
+                ),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
 
     print(json.dumps({"table": rows}))
 

@@ -200,6 +200,16 @@ class TestSlamChunk:
         ate_odom = metrics.ate_rmse(odom.positions, gt, align=False)
         assert ate_map < max(1.2 * ate_odom, 0.05), (ate_odom, ate_map)
 
+        # map_skip=2 (the reference's ~5 Hz mapping cadence): odometry
+        # identical, skipped frames composed through wmap_T_odom, and the
+        # mapped trajectory still sane
+        odom2, mapped2 = FullPipeline(cfg, capacity=65536).run_chunked(
+            scans, chunk=2, map_skip=2
+        )
+        np.testing.assert_allclose(odom2.positions, ref.positions, atol=1e-4)
+        ate_map2 = metrics.ate_rmse(mapped2.positions, gt, align=False)
+        assert ate_map2 < max(1.5 * ate_odom, 0.06), (ate_odom, ate_map2)
+
 
 class TestDeviceRefinement:
     def test_recovers_perturbed_pose(self):

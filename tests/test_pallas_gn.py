@@ -189,3 +189,30 @@ def test_segment_sum_batched_matches_scatter(rng):
     for r in range(R):
         np.add.at(want[r].T, seg[r], vals[r].T)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_block_topk_packed_matches_bruteforce(rng):
+    """The packed (distance|index) int32 variant: indices exact, distances
+    within the documented 2^-8 relative quantization."""
+    from lidar_visual_odometry_tpu.ops import pallas_nn
+
+    Q, C, K = 256, 1024, 5
+    q = rng.normal(size=(Q, 3)).astype(np.float32) * 10
+    c = rng.normal(size=(C, 3)).astype(np.float32) * 10
+    mask = rng.uniform(size=C) > 0.3
+    baked = pallas_nn.bake_mask(jnp.asarray(c), jnp.asarray(mask))
+    d, idx = pallas_nn.block_topk(
+        jnp.asarray(q), baked, k=K, q_tile=128, c_tile=256,
+        interpret=True, packed=True,
+    )
+    D = np.linalg.norm(q[:, None] - c[None], axis=-1) ** 2
+    D[:, ~mask] = np.inf
+    order = np.argsort(D, axis=1)[:, :K]
+    want_d = np.take_along_axis(D, order, axis=1)
+    got_d = np.sort(np.asarray(d), axis=1)
+    np.testing.assert_allclose(got_d, want_d, rtol=2**-7, atol=1e-3)
+    # indices: allow near-tie swaps from the quantized ordering
+    got_set = np.sort(np.asarray(idx), axis=1)
+    want_set = np.sort(order, axis=1)
+    agree = (got_set == want_set).mean()
+    assert agree > 0.97, agree
