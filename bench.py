@@ -73,6 +73,7 @@ def _config():
         # kernel's clamped window also needs win+2 ≤ level height)
         visual=VisualConfig(
             depth_cloud_cap=16384, lk_window=13, lk_levels=3,
+            lk_reverse_levels=1,   # shallow warm-started reverse check
         ),
         extrinsic=ExtrinsicConfig(matrix=ext),
     )

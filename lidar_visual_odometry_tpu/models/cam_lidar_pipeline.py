@@ -164,14 +164,24 @@ class CamLidarPipeline:
             batch = list(range(s, min(s + chunk, n)))
             qs = np.zeros((chunk, self.capacity, 3), np.uint16)
             counts = np.zeros((chunk,), np.int32)
-            imgs = np.zeros((chunk, *np.asarray(images[0]).shape), np.float32)
-            cxyz = np.zeros((chunk, cam_capacity, 3), np.float32)
+            # uint8 image upload (¼ bytes over the tunnel; dequantized on
+            # device in visual_chunk — cameras are 8-bit sources anyway);
+            # depth clouds upload uint16 @ 3.9 mm like the scans
+            imgs = np.zeros((chunk, *np.asarray(images[0]).shape), np.uint8)
+            cxyz = np.zeros((chunk, cam_capacity, 3), np.uint16)
             cmask = np.zeros((chunk, cam_capacity), bool)
             for i, k in enumerate(batch):
                 raw = np.asarray(scans[k])[:, :3]
                 qs[i], counts[i] = lo.quantize_scan(raw, self.capacity)
-                imgs[i] = np.asarray(images[k], np.float32)
-                cxyz[i], cmask[i] = self._cam_cloud(raw)
+                im = np.asarray(images[k])
+                imgs[i] = (
+                    im if im.dtype == np.uint8
+                    else np.clip(im * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                )
+                cf, cmask[i] = self._cam_cloud(raw)
+                cxyz[i] = (np.clip(
+                    (cf - lo.QUANT_OFFSET) / lo.QUANT_SCALE, 0.0, 65535.0
+                ) + 0.5).astype(np.uint16)
             device_chunks.append(tuple(map(jnp.asarray,
                                            (qs, counts, imgs, cxyz, cmask))))
 

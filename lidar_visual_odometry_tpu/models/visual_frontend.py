@@ -467,6 +467,7 @@ def visual_step(
         prev_pyr, cur_pyr, table.uv,
         win=cfg.lk_window, iters=cfg.lk_iters, levels=cfg.lk_levels,
         max_reverse_err=cfg.reverse_check_px,
+        reverse_levels=cfg.lk_reverse_levels or None,
     )
     table, rel, new_pose_w = solve_and_update(
         uv1, ok, prev_dc, table, pose_w, warm_rel, cam, cfg
@@ -511,6 +512,15 @@ def visual_chunk(
     """
     def step(carry: VisualChunkState, frame):
         img, pts, m = frame
+        if img.dtype == jnp.uint8:
+            # images upload as uint8 (¼ the tunnel bytes; cameras are 8-bit
+            # anyway) and dequantize on device
+            img = img.astype(jnp.float32) * (1.0 / 255.0)
+        if pts.dtype == jnp.uint16:
+            # depth clouds upload like scans: uint16 @ 3.9 mm
+            from .lidar_odometry import QUANT_OFFSET, QUANT_SCALE
+
+            pts = pts.astype(jnp.float32) * QUANT_SCALE + QUANT_OFFSET
         if cfg.use_clahe:
             img = image.clahe(
                 img, grid=cfg.clahe_grid, clip_limit=cfg.clahe_clip
@@ -521,6 +531,7 @@ def visual_chunk(
             carry.prev_pyr, pyr, carry.table.uv,
             win=cfg.lk_window, iters=cfg.lk_iters, levels=cfg.lk_levels,
             max_reverse_err=cfg.reverse_check_px,
+            reverse_levels=cfg.lk_reverse_levels or None,
         )
         table, rel, pose_w = solve_and_update(
             uv1, ok, carry.prev_dc, carry.table, carry.pose_w,

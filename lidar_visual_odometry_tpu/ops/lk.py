@@ -65,14 +65,20 @@ def _track_level(img0, img1, gx, gy, uv0, guess, *, win: int, iters: int):
 @partial(jax.jit, static_argnames=("win", "iters", "levels"))
 def track_pyramid(
     pyr0: tuple, pyr1: tuple, uv0: jax.Array,
+    init_d: jax.Array | None = None,
     *, win: int = 25, iters: int = 10, levels: int = 4,
 ) -> tuple[jax.Array, jax.Array]:
     """Track features uv0 (N, 2, level-0 pixels) from pyr0 to pyr1.
 
     Coarse-to-fine over ``levels``; returns (uv1 (N, 2), ok (N,)).
+    init_d: optional (N, 2) displacement warm start in level-0 pixels
+    (e.g. the negated forward flow for a shallow reverse check).
     """
     scale_top = 2.0 ** (levels - 1)
-    d = jnp.zeros_like(uv0) / scale_top
+    if init_d is None:
+        d = jnp.zeros_like(uv0)
+    else:
+        d = init_d / scale_top
     ok_all = jnp.ones(uv0.shape[0], bool)
     on_tpu = jax.default_backend() == "tpu"
     # the Pallas kernel samples an aligned (rows, 256) VMEM strip per patch;
@@ -114,14 +120,30 @@ def track_pyramid(
     return uv1, ok_all & inb
 
 
-@partial(jax.jit, static_argnames=("win", "iters", "levels"))
+@partial(jax.jit, static_argnames=("win", "iters", "levels",
+                                   "reverse_levels"))
 def track_pyramid_reverse_checked(
     pyr0: tuple, pyr1: tuple, uv0: jax.Array,
     *, win: int = 25, iters: int = 10, levels: int = 4,
     max_reverse_err: float = 1.0,
+    reverse_levels: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Forward + reverse track with round-trip gate ≤ max_reverse_err px."""
+    """Forward + reverse track with round-trip gate ≤ max_reverse_err px.
+
+    reverse_levels < levels runs a SHALLOW reverse check: the reverse track
+    is warm-started at the exact negated forward flow and refined over only
+    the finest ``reverse_levels`` levels. Inliers converge back within the
+    gate regardless of the coarse levels; outliers sit in the wrong level-0
+    basin and still fail. Cuts the LK cost (the dominant visual-stage
+    kernel) by ~(levels - reverse_levels)/(2·levels); None = full reverse
+    (the reference's cv::calcOpticalFlowPyrLK round trip,
+    featureTracking.cpp:214-237).
+    """
     uv1, ok_f = track_pyramid(pyr0, pyr1, uv0, win=win, iters=iters, levels=levels)
-    uv0_back, ok_b = track_pyramid(pyr1, pyr0, uv1, win=win, iters=iters, levels=levels)
+    rl = levels if reverse_levels is None else min(reverse_levels, levels)
+    uv0_back, ok_b = track_pyramid(
+        pyr1[:rl], pyr0[:rl], uv1, uv0 - uv1,
+        win=win, iters=iters, levels=rl,
+    )
     err = jnp.linalg.norm(uv0_back - uv0, axis=-1)
     return uv1, ok_f & ok_b & (err <= max_reverse_err)

@@ -140,6 +140,10 @@ class VisualConfig:
     lk_levels: int = 4
     lk_iters: int = 10
     reverse_check_px: float = 1.0     # fwd/bwd consistency gate (featureTracking.cpp:214-237)
+    lk_reverse_levels: int = 0        # 0 = full-pyramid reverse (reference);
+                                      # n>0: shallow reverse over the finest n
+                                      # levels warm-started at the negated
+                                      # forward flow (~25-40% LK savings)
     fast_threshold: float = 30.0
     depth_knn: int = 3                # depth association KNN (Frontend.cpp:241)
     gn_iters: int = 150               # visual GN cap (Frontend.cpp:401); the

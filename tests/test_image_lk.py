@@ -161,3 +161,38 @@ class TestBoxSum:
             want = jss.convolve2d(a, jnp.ones((k, k)), mode="same")
             got = image.box_sum(a, k)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def test_shallow_reverse_check_matches_full(rng):
+    """reverse_levels=1 (warm-started at the negated forward flow) must keep
+    the same inliers as the full-pyramid reverse on clean translation, and
+    still reject features that fail the round trip."""
+    from lidar_visual_odometry_tpu.ops import image, lk
+
+    H, W = 96, 160
+    yy, xx = np.mgrid[0:H, 0:W]
+    img0 = (0.5 + 0.25 * np.sin(0.4 * xx) * np.cos(0.3 * yy)
+            + 0.15 * np.sin(0.9 * xx + 1.3 * yy)).astype(np.float32)
+    dx, dy = 3.6, -2.2
+    img1 = (0.5 + 0.25 * np.sin(0.4 * (xx - dx)) * np.cos(0.3 * (yy - dy))
+            + 0.15 * np.sin(0.9 * (xx - dx) + 1.3 * (yy - dy))).astype(
+        np.float32
+    )
+    pyr0 = tuple(image.build_pyramid(jnp.asarray(img0), 3))
+    pyr1 = tuple(image.build_pyramid(jnp.asarray(img1), 3))
+    uv = jnp.asarray(
+        np.stack([rng.uniform(20, W - 20, 64),
+                  rng.uniform(20, H - 20, 64)], -1).astype(np.float32)
+    )
+    uv_full, ok_full = lk.track_pyramid_reverse_checked(
+        pyr0, pyr1, uv, win=15, iters=10, levels=3, max_reverse_err=1.0,
+    )
+    uv_sh, ok_sh = lk.track_pyramid_reverse_checked(
+        pyr0, pyr1, uv, win=15, iters=10, levels=3, max_reverse_err=1.0,
+        reverse_levels=1,
+    )
+    np.testing.assert_allclose(np.asarray(uv_sh), np.asarray(uv_full))
+    of, os_ = np.asarray(ok_full), np.asarray(ok_sh)
+    assert of.sum() > 32
+    # shallow keeps ≥95% of the full-reverse inlier set
+    assert (of & os_).sum() >= 0.95 * of.sum()

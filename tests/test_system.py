@@ -255,3 +255,55 @@ class TestCheckpoint:
         np.testing.assert_allclose(
             np.asarray(res_v.t), np.asarray(ref_v.t), atol=1e-6
         )
+
+
+class TestCamLidarChunked:
+    def test_chunked_matches_per_frame(self):
+        """CamLidarPipeline.run_chunked (fused lidar chunk + fused visual
+        chunk, uint8/uint16 transfer quantization) must track the per-frame
+        driver within quantization noise."""
+        from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+            CamLidarPipeline,
+        )
+        from lidar_visual_odometry_tpu.utils.config import (
+            CameraConfig, ExtrinsicConfig, LidarConfig, OdometryConfig,
+            SystemConfig, VisualConfig,
+        )
+
+        R_sc = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+        ext = tuple(tuple(float(v) for v in row) + (0.0,) for row in R_sc.T)
+        CAM = dict(fx=120.0, fy=120.0, cx=160.0, cy=48.0, width=320, height=96)
+        cfg = SystemConfig(
+            lidar=LidarConfig(azimuth_bins=1024),
+            odometry=OdometryConfig(outer_iters=5, gn_iters=4),
+            camera=CameraConfig(
+                fx=CAM["fx"], fy=CAM["fy"], cx=CAM["cx"], cy=CAM["cy"],
+                width=CAM["width"], height=CAM["height"],
+            ),
+            visual=VisualConfig(
+                gn_iters=40, lk_levels=3, lk_window=15, grid_rows=3,
+                grid_cols=8, max_tracked=256, depth_cloud_cap=16384,
+            ),
+            extrinsic=ExtrinsicConfig(matrix=ext),
+        )
+        seq = synthetic.SyntheticSequence(n_frames=4, width=900, noise=0.005)
+        scans, images = [], []
+        for k in range(4):
+            scans.append(seq.scan(k))
+            Rc, tc = synthetic.camera_from_velodyne_pose(*seq.pose(k))
+            img, _ = synthetic.render_image(seq.scene, Rc, tc, **CAM)
+            images.append(img)
+
+        ref = CamLidarPipeline(cfg, capacity=65536).run(scans, images)
+        got = CamLidarPipeline(cfg, capacity=65536).run_chunked(
+            scans, images, chunk=3
+        )
+        # per-frame runs on float scans; the chunked path quantizes uploads
+        # to 3.9 mm — a few mm of divergence over 4 frames is the expected
+        # quantization delta, not an algorithmic difference
+        np.testing.assert_allclose(
+            got.lidar_positions, ref.lidar_positions, atol=2e-2
+        )
+        np.testing.assert_allclose(
+            got.visual_positions, ref.visual_positions, atol=5e-2
+        )
