@@ -21,6 +21,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..data.sync import match_nearest
@@ -31,6 +32,26 @@ from ..ops import camera as cam_ops
 from ..ops import pointcloud as pc
 from ..ops import se3
 from ..utils.config import SystemConfig
+
+
+#: concat per-chunk device outputs into one array — single dispatch + single
+#: D2H instead of one RPC per chunk (retraces only per distinct chunk count)
+_cat = jax.jit(lambda xs: jnp.concatenate(xs))
+
+
+@jax.jit
+def _map_cam_poses_to_lidar(cam_q, cam_t, T_lidar_cam, T_cam_lidar):
+    """T_w_lidar = T_lidar_cam ∘ T_w_cam ∘ T_cam_lidar, batched over (N,).
+
+    One device program for the whole trajectory — se3 ops broadcast, and a
+    host loop of per-frame composes would pay an RPC round trip per op on
+    the tunneled TPU (CamLidarProcess.cpp:284-293 does this per callback;
+    here it is a batch epilogue).
+    """
+    p = se3.se3_compose(
+        se3.se3_compose(T_lidar_cam, se3.Pose(cam_q, cam_t)), T_cam_lidar
+    )
+    return p.q, p.t
 
 
 @dataclass
@@ -100,19 +121,19 @@ class CamLidarPipeline:
                     jnp.asarray(cxyz),
                     jnp.asarray(cmask),
                 )
-            # T_w_lidar = T_w_cam ∘ T_cam_lidar, in the camera-world frame
-            visual_poses.append(
-                se3.se3_compose(
-                    se3.se3_compose(self.T_lidar_cam, pose_c),
-                    self.T_cam_lidar,
-                )
-            )
+            visual_poses.append(pose_c)
 
+        # T_w_lidar = T_w_cam ∘ T_cam_lidar, batched (see run_chunked)
+        vq, vt = _map_cam_poses_to_lidar(
+            jnp.stack([p.q for p in visual_poses]),
+            jnp.stack([p.t for p in visual_poses]),
+            self.T_lidar_cam, self.T_cam_lidar,
+        )
         return CamLidarResult(
             lidar_positions=np.stack([np.asarray(p.t) for p in lidar_poses]),
-            visual_positions=np.stack([np.asarray(p.t) for p in visual_poses]),
+            visual_positions=np.asarray(vt),
             lidar_quats=np.stack([np.asarray(p.q) for p in lidar_poses]),
-            visual_quats=np.stack([np.asarray(p.q) for p in visual_poses]),
+            visual_quats=np.asarray(vq),
         )
 
     def _cam_cloud(self, raw: np.ndarray):
@@ -156,10 +177,11 @@ class CamLidarPipeline:
         )
 
         t0 = time.time()
-        # stage all H2D uploads first (transfers don't overlap compute on
-        # the tunneled TPU; batch them ahead of the dispatch loop)
-        device_chunks = []
+        # per chunk: pack (host) → upload → async dispatch of BOTH device
+        # programs, so packing chunk k+1 overlaps chunk k's compute; only the
+        # transfers serialize with compute on the tunneled TPU
         cam_capacity = self.cfg.visual.depth_cloud_cap
+        lq, lt, vq, vt = [], [], [], []
         for s in range(1, n, chunk):
             batch = list(range(s, min(s + chunk, n)))
             qs = np.zeros((chunk, self.capacity, 3), np.uint16)
@@ -182,11 +204,9 @@ class CamLidarPipeline:
                 cxyz[i] = (np.clip(
                     (cf - lo.QUANT_OFFSET) / lo.QUANT_SCALE, 0.0, 65535.0
                 ) + 0.5).astype(np.uint16)
-            device_chunks.append(tuple(map(jnp.asarray,
-                                           (qs, counts, imgs, cxyz, cmask))))
-
-        lq, lt, vq, vt = [], [], [], []
-        for dq, dc_, dimgs, dcx, dcm in device_chunks:
+            dq, dc_, dimgs, dcx, dcm = map(
+                jnp.asarray, (qs, counts, imgs, cxyz, cmask)
+            )
             odo_state, poses_l = lo.odometry_chunk_quantized(
                 odo_state, dq, dc_, self.cfg.lidar, self.cfg.odometry
             )
@@ -197,35 +217,33 @@ class CamLidarPipeline:
             lt.append(poses_l.t)
             vq.append(poses_c.q)
             vt.append(poses_c.t)
-        jax.block_until_ready(vt[-1])
-        np.asarray(vt[-1])  # axon: force a real D2H drain
+        # fetch all trajectories in 4 D2H transfers (not 4 per chunk: each
+        # np.asarray is an RPC round trip on the tunnel) and map camera-world
+        # poses to the lidar frame in ONE batched jitted call — a per-frame
+        # host loop of tiny un-jitted composes was the hidden 60% of this
+        # method's wall time (CamLidarProcess.cpp:284-293 does it per
+        # callback; here it is a batch epilogue)
+        mq, mt = _map_cam_poses_to_lidar(
+            _cat(vq), _cat(vt), self.T_lidar_cam, self.T_cam_lidar,
+        )
+        lidar_q_d, lidar_t_d = _cat(lq), _cat(lt)
+        vis_q, vis_t = np.asarray(mq)[:n - 1], np.asarray(mt)[:n - 1]
         wall = time.time() - t0
 
         ident_q = np.array([[1.0, 0, 0, 0]], np.float32)
         zero_t = np.zeros((1, 3), np.float32)
-        lidar_q = np.concatenate([ident_q] + [np.asarray(q) for q in lq])[:n]
-        lidar_t = np.concatenate([zero_t] + [np.asarray(t) for t in lt])[:n]
-        cam_q = np.concatenate([ident_q] + [np.asarray(q) for q in vq])[:n]
-        cam_t = np.concatenate([zero_t] + [np.asarray(t) for t in vt])[:n]
-
-        # map camera-world poses to the lidar frame (CamLidarProcess.cpp:284-293)
-        vis_q, vis_t = [], []
-        for k in range(n):
-            p = se3.se3_compose(
-                se3.se3_compose(
-                    self.T_lidar_cam,
-                    se3.Pose(jnp.asarray(cam_q[k]), jnp.asarray(cam_t[k])),
-                ),
-                self.T_cam_lidar,
-            )
-            vis_q.append(np.asarray(p.q))
-            vis_t.append(np.asarray(p.t))
+        lidar_q = np.concatenate([ident_q, np.asarray(lidar_q_d)])[:n]
+        lidar_t = np.concatenate([zero_t, np.asarray(lidar_t_d)])[:n]
+        # frame 0 visual pose = identity mapped through the extrinsic chain
+        # (== identity, since T_lidar_cam ∘ I ∘ T_cam_lidar = I)
+        vis_q = np.concatenate([ident_q, vis_q])[:n]
+        vis_t = np.concatenate([zero_t, vis_t])[:n]
 
         if progress:
             print(f"cam-lidar fused: {n} frames in {wall:.2f}s "
                   f"→ {(n - 1) / wall:.1f} fps")
         self.last_wall = wall
         return CamLidarResult(
-            lidar_positions=lidar_t, visual_positions=np.stack(vis_t),
-            lidar_quats=lidar_q, visual_quats=np.stack(vis_q),
+            lidar_positions=lidar_t, visual_positions=vis_t,
+            lidar_quats=lidar_q, visual_quats=vis_q,
         )

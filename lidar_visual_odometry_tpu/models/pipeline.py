@@ -13,6 +13,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..models import lidar_odometry as lo
@@ -20,6 +21,10 @@ from ..models import scan_registration as sr
 from ..ops import pointcloud as pc
 from ..ops import se3
 from ..utils.config import SystemConfig
+
+#: concat per-chunk device outputs on device — ONE dispatch + ONE D2H per
+#: trajectory instead of an RPC round trip per chunk on the tunneled TPU
+_cat = jax.jit(lambda xs: jnp.concatenate(xs))
 
 
 @dataclass
@@ -92,13 +97,16 @@ class OdometryPipeline:
         state = lo.init_state(reg0.features)
 
         t0 = time.time()
-        # stage 1: pack + enqueue ALL H2D transfers up front so DMA can
-        # overlap with compute (a serial pack→transfer→compute loop loses the
-        # full transfer latency per chunk on the tunneled TPU)
-        # the final ragged batch pads to `chunk` frames (count/mask 0) so every
-        # dispatch reuses the one compiled K=chunk program (a second remote
-        # XLA compile costs minutes); padded outputs are dropped below
-        device_chunks = []
+        # per chunk: pack (host numpy) → upload → dispatch (async). Because
+        # dispatch returns immediately, packing chunk k+1 overlaps chunk k's
+        # device compute; only the transfers serialize with compute on the
+        # tunneled TPU. (Packing everything up front instead adds the full
+        # host pack time to the critical path.)
+        # The final ragged batch pads to `chunk` frames (count/mask 0) so
+        # every dispatch reuses the one compiled K=chunk program (a second
+        # remote XLA compile costs minutes); padded outputs are dropped below
+        chunks_q, chunks_t = [], []
+        step = lo.odometry_chunk_quantized if quantize else lo.odometry_chunk
         for s in range(1, len(scans), chunk):
             batch = scans[s:s + chunk]
             if quantize:
@@ -108,7 +116,7 @@ class OdometryPipeline:
                     qs[i], counts[i] = lo.quantize_scan(
                         np.asarray(pts), self.capacity
                     )
-                device_chunks.append((jnp.asarray(qs), jnp.asarray(counts)))
+                dstacked, dmasks = jnp.asarray(qs), jnp.asarray(counts)
             else:
                 stacked = np.zeros((chunk, self.capacity, 3), np.float32)
                 masks = np.zeros((chunk, self.capacity), bool)
@@ -116,24 +124,18 @@ class OdometryPipeline:
                     stacked[i], masks[i] = pc.pad_points(
                         np.asarray(pts)[:, :3], self.capacity
                     )
-                device_chunks.append((jnp.asarray(stacked), jnp.asarray(masks)))
-
-        # stage 2: one device program per chunk, all dispatched asynchronously
-        chunks_q, chunks_t = [], []
-        step = lo.odometry_chunk_quantized if quantize else lo.odometry_chunk
-        for dstacked, dmasks in device_chunks:
+                dstacked, dmasks = jnp.asarray(stacked), jnp.asarray(masks)
             state, poses = step(
                 state, dstacked, dmasks, self.cfg.lidar, self.cfg.odometry,
             )
             chunks_q.append(poses.q)
             chunks_t.append(poses.t)
-        jax.block_until_ready(chunks_t[-1])
-        np.asarray(chunks_t[-1])  # axon: block_until_ready alone doesn't drain
+        all_q, all_t = np.asarray(_cat(chunks_q)), np.asarray(_cat(chunks_t))
         wall = time.time() - t0
 
         n = len(scans)
-        qs = np.concatenate([[np.array([1.0, 0, 0, 0], np.float32)]] + [np.asarray(q) for q in chunks_q])[:n]
-        ts = np.concatenate([[np.zeros(3, np.float32)]] + [np.asarray(t) for t in chunks_t])[:n]
+        qs = np.concatenate([[np.array([1.0, 0, 0, 0], np.float32)], all_q])[:n]
+        ts = np.concatenate([[np.zeros(3, np.float32)], all_t])[:n]
         if progress:
             print(f"{n} frames in {wall:.2f}s → {(n - 1)/wall:.1f} fps")
         return TrajectoryResult(ts, qs, per_frame_s=[wall / (n - 1)] * n)
@@ -238,29 +240,26 @@ class FullPipeline:
         map_state = dm.init_state(self.cfg.mapping)
 
         t0 = time.time()
-        # pad the final ragged batch to `chunk` (counts 0) — one compiled
+        if map_skip is None:
+            map_skip = self.cfg.odometry.skip_frame_num
+        # per chunk: pack → upload → async dispatch, so packing chunk k+1
+        # overlaps chunk k's device compute (see OdometryPipeline.run_chunked).
+        # The final ragged batch pads to `chunk` (counts 0) — one compiled
         # program for every dispatch; padded outputs are dropped below
-        device_chunks = []
-        for s in range(1, len(scans), chunk):
+        chunks = []
+        for ci, s in enumerate(range(1, len(scans), chunk)):
             batch = scans[s:s + chunk]
             qs = np.zeros((chunk, self.capacity, 3), np.uint16)
             counts = np.zeros((chunk,), np.int32)
             for i, pts in enumerate(batch):
                 qs[i], counts[i] = lo.quantize_scan(np.asarray(pts), self.capacity)
-            device_chunks.append((jnp.asarray(qs), jnp.asarray(counts)))
-
-        if map_skip is None:
-            map_skip = self.cfg.odometry.skip_frame_num
-        chunks = []
-        for ci, (dq, dc) in enumerate(device_chunks):
             odo_state, map_state, op, mp = dm.slam_chunk_quantized(
-                odo_state, map_state, dq, dc,
+                odo_state, map_state, jnp.asarray(qs), jnp.asarray(counts),
                 self.cfg.lidar, self.cfg.odometry, self.cfg.mapping,
                 start_idx=1 + ci * chunk, map_skip=map_skip,
             )
             chunks.append((op.q, op.t, mp.q, mp.t))
-        jax.block_until_ready(chunks[-1])
-        np.asarray(chunks[-1][3])  # axon: force a real D2H drain
+        fetched = [np.asarray(_cat([c[i] for c in chunks])) for i in range(4)]
         wall = time.time() - t0
 
         n = len(scans)
@@ -268,9 +267,7 @@ class FullPipeline:
         zero_t = np.zeros((1, 3), np.float32)
 
         def cat(first, i):
-            return np.concatenate(
-                [first] + [np.asarray(c[i]) for c in chunks]
-            )[:n]
+            return np.concatenate([first, fetched[i]])[:n]
 
         per = [wall / (n - 1)] * n
         odom = TrajectoryResult(cat(zero_t, 1), cat(ident_q, 0), per_frame_s=per)
