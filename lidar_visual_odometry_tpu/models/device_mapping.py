@@ -159,17 +159,57 @@ def slam_chunk_quantized(
     The mapping stage is ~85% of per-frame device time (NN association), so
     skip=2 nearly doubles fused-SLAM throughput.
     """
-    from .lidar_odometry import QUANT_OFFSET, QUANT_SCALE, odometry_step
+    from .lidar_odometry import QUANT_OFFSET, QUANT_SCALE
     from .scan_registration import register_scan_impl
 
     idx = jnp.arange(qpts.shape[1], dtype=jnp.int32)
 
+    def feats_of(frame):
+        qp, n = frame
+        xyz = qp.astype(jnp.float32) * QUANT_SCALE + QUANT_OFFSET
+        return register_scan_impl(xyz, idx < n, lidar_cfg).features
+
+    return _slam_scan(
+        odo_state, map_state, (qpts, counts), feats_of,
+        odom_cfg, map_cfg, start_idx, map_skip, qpts.shape[0],
+    )
+
+
+@partial(jax.jit, static_argnames=("lidar_cfg", "odom_cfg", "map_cfg",
+                                   "map_skip"))
+def slam_chunk_polar(
+    odo_state,
+    map_state: DeviceMapState,
+    imgs: jax.Array,      # (K, R, W, 2) uint16 (pointcloud.pack_polar_scan)
+    lidar_cfg,
+    odom_cfg,
+    map_cfg: MappingConfig,
+    start_idx: jax.Array | int = 0,
+    map_skip: int = 1,
+):
+    """slam_chunk over packed polar images (4 bytes/cell H2D; decode lands
+    on the compacted grid — see pointcloud.pack_polar_scan)."""
+    from .scan_registration import register_polar_impl
+
+    def feats_of(img):
+        return register_polar_impl(img, lidar_cfg).features
+
+    return _slam_scan(
+        odo_state, map_state, imgs, feats_of,
+        odom_cfg, map_cfg, start_idx, map_skip, imgs.shape[0],
+    )
+
+
+def _slam_scan(
+    odo_state, map_state, payload, feats_of,
+    odom_cfg, map_cfg, start_idx, map_skip, K: int,
+):
+    from .lidar_odometry import odometry_step
+
     def step(carry, frame):
         odo, mp = carry
-        qp, n, i = frame
-        xyz = qp.astype(jnp.float32) * QUANT_SCALE + QUANT_OFFSET
-        mask = idx < n
-        feats = register_scan_impl(xyz, mask, lidar_cfg).features
+        payload_i, i = frame
+        feats = feats_of(payload_i)
         odo, pose_w = odometry_step(odo, feats, odom_cfg)
         if map_skip <= 1:
             mp, refined = device_mapping_impl(
@@ -191,10 +231,9 @@ def slam_chunk_quantized(
             )
         return (odo, mp), (pose_w, refined)
 
-    K = qpts.shape[0]
     frame_ids = jnp.asarray(start_idx, jnp.int32) + jnp.arange(K, dtype=jnp.int32)
     (odo_state, map_state), (odom_poses, mapped_poses) = jax.lax.scan(
-        step, (odo_state, map_state), (qpts, counts, frame_ids)
+        step, (odo_state, map_state), (payload, frame_ids)
     )
     return odo_state, map_state, odom_poses, mapped_poses
 

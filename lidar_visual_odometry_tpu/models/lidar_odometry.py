@@ -220,6 +220,26 @@ def odometry_chunk_quantized(
 
 
 @partial(jax.jit, static_argnames=("lidar_cfg", "odom_cfg"))
+def odometry_chunk_polar(
+    state: OdometryState,
+    imgs: jax.Array,      # (K, R, W, 2) uint16 (pointcloud.pack_polar_scan)
+    lidar_cfg,
+    odom_cfg: OdometryConfig,
+) -> tuple[OdometryState, se3.Pose]:
+    """odometry_chunk over packed polar images: 4 bytes/cell H2D (vs 6 for
+    uint16 xyz at capacity) and the decode lands on the compacted grid —
+    the transfer-bound deployment mode (see pointcloud.pack_polar_scan)."""
+    from .scan_registration import register_polar_impl
+
+    def step(state, img):
+        feats = register_polar_impl(img, lidar_cfg).features
+        state, pose_w = odometry_step(state, feats, odom_cfg)
+        return state, pose_w
+
+    return jax.lax.scan(step, state, imgs)
+
+
+@partial(jax.jit, static_argnames=("lidar_cfg", "odom_cfg"))
 def odometry_chunk(
     state: OdometryState,
     scans: jax.Array,     # (K, N, 3)

@@ -74,16 +74,20 @@ class OdometryPipeline:
 
     def run_chunked(
         self, scans, chunk: int = 8, progress: bool = False,
-        quantize: bool = False,
+        quantize: bool = False, ingest: str | None = None,
     ) -> TrajectoryResult:
         """Batch-process the sequence in K-frame device programs
         (lidar_odometry.odometry_chunk): one dispatch per chunk instead of
         2-3 per frame — the fast path when scans are available in advance
         (dataset eval / benchmark) or arrive in bursts.
 
-        quantize=True uploads scans as uint16 at 3.9 mm resolution with
-        per-frame counts (half the bytes of float32 + mask planes) — the
-        transfer-bound deployment mode; see lidar_odometry.quantize_scan.
+        ingest selects the upload encoding (default derived from ``quantize``):
+          * "float"  — float32 xyz + bool mask planes,
+          * "uint16" — xyz quantized at 3.9 mm + per-frame counts
+            (lidar_odometry.quantize_scan; half the float bytes),
+          * "polar"  — packed (ring, azimuth) range image, 4 bytes/cell
+            (pointcloud.pack_polar_scan; 2/3 of uint16, and the device skips
+            the global compaction sort) — the transfer-bound deployment mode.
         """
         import time
 
@@ -91,9 +95,13 @@ class OdometryPipeline:
 
         from ..models import lidar_odometry as lo
 
+        if ingest is None:
+            ingest = "uint16" if quantize else "float"
+        lcfg = self.cfg.lidar
+
         # frame 0 initializes the feature state
         xyz0, mask0 = pc.pad_points(np.asarray(scans[0])[:, :3], self.capacity)
-        reg0 = sr.register_scan(jnp.asarray(xyz0), jnp.asarray(mask0), self.cfg.lidar)
+        reg0 = sr.register_scan(jnp.asarray(xyz0), jnp.asarray(mask0), lcfg)
         state = lo.init_state(reg0.features)
 
         t0 = time.time()
@@ -106,17 +114,30 @@ class OdometryPipeline:
         # every dispatch reuses the one compiled K=chunk program (a second
         # remote XLA compile costs minutes); padded outputs are dropped below
         chunks_q, chunks_t = [], []
-        step = lo.odometry_chunk_quantized if quantize else lo.odometry_chunk
         for s in range(1, len(scans), chunk):
             batch = scans[s:s + chunk]
-            if quantize:
+            if ingest == "polar":
+                from ..data.native_pack import pack_polar_chunk
+
+                imgs = pack_polar_chunk(
+                    batch, n_scans=lcfg.n_scans, width=lcfg.azimuth_bins,
+                    min_range=lcfg.min_range, max_range=lcfg.max_range,
+                    n_frames=chunk,
+                )
+                state, poses = lo.odometry_chunk_polar(
+                    state, jnp.asarray(imgs), lcfg, self.cfg.odometry,
+                )
+            elif ingest == "uint16":
                 qs = np.zeros((chunk, self.capacity, 3), np.uint16)
                 counts = np.zeros((chunk,), np.int32)
                 for i, pts in enumerate(batch):
                     qs[i], counts[i] = lo.quantize_scan(
                         np.asarray(pts), self.capacity
                     )
-                dstacked, dmasks = jnp.asarray(qs), jnp.asarray(counts)
+                state, poses = lo.odometry_chunk_quantized(
+                    state, jnp.asarray(qs), jnp.asarray(counts),
+                    lcfg, self.cfg.odometry,
+                )
             else:
                 stacked = np.zeros((chunk, self.capacity, 3), np.float32)
                 masks = np.zeros((chunk, self.capacity), bool)
@@ -124,10 +145,10 @@ class OdometryPipeline:
                     stacked[i], masks[i] = pc.pad_points(
                         np.asarray(pts)[:, :3], self.capacity
                     )
-                dstacked, dmasks = jnp.asarray(stacked), jnp.asarray(masks)
-            state, poses = step(
-                state, dstacked, dmasks, self.cfg.lidar, self.cfg.odometry,
-            )
+                state, poses = lo.odometry_chunk(
+                    state, jnp.asarray(stacked), jnp.asarray(masks),
+                    lcfg, self.cfg.odometry,
+                )
             chunks_q.append(poses.q)
             chunks_t.append(poses.t)
         all_q, all_t = np.asarray(_cat(chunks_q)), np.asarray(_cat(chunks_t))
@@ -213,13 +234,14 @@ class FullPipeline:
         return to_result(odom_poses), to_result(mapped_poses)
 
     def run_chunked(self, scans, chunk: int = 8, progress: bool = False,
-                    map_skip: int | None = None):
+                    map_skip: int | None = None, ingest: str = "uint16"):
         """The fused fast path: K frames of register → scan-to-scan →
         scan-to-map → map insert per device program
         (device_mapping.slam_chunk_quantized). Requires device_map=True.
 
         map_skip (default cfg.odometry.skip_frame_num) maps every N-th frame
-        — the reference's decoupled mapping cadence.
+        — the reference's decoupled mapping cadence. ingest = "uint16" |
+        "polar" (see OdometryPipeline.run_chunked).
 
         Returns (odometry TrajectoryResult, mapped TrajectoryResult).
         """
@@ -246,18 +268,35 @@ class FullPipeline:
         # overlaps chunk k's device compute (see OdometryPipeline.run_chunked).
         # The final ragged batch pads to `chunk` (counts 0) — one compiled
         # program for every dispatch; padded outputs are dropped below
+        lcfg = self.cfg.lidar
         chunks = []
         for ci, s in enumerate(range(1, len(scans), chunk)):
             batch = scans[s:s + chunk]
-            qs = np.zeros((chunk, self.capacity, 3), np.uint16)
-            counts = np.zeros((chunk,), np.int32)
-            for i, pts in enumerate(batch):
-                qs[i], counts[i] = lo.quantize_scan(np.asarray(pts), self.capacity)
-            odo_state, map_state, op, mp = dm.slam_chunk_quantized(
-                odo_state, map_state, jnp.asarray(qs), jnp.asarray(counts),
-                self.cfg.lidar, self.cfg.odometry, self.cfg.mapping,
-                start_idx=1 + ci * chunk, map_skip=map_skip,
-            )
+            if ingest == "polar":
+                from ..data.native_pack import pack_polar_chunk
+
+                imgs = pack_polar_chunk(
+                    batch, n_scans=lcfg.n_scans, width=lcfg.azimuth_bins,
+                    min_range=lcfg.min_range, max_range=lcfg.max_range,
+                    n_frames=chunk,
+                )
+                odo_state, map_state, op, mp = dm.slam_chunk_polar(
+                    odo_state, map_state, jnp.asarray(imgs),
+                    lcfg, self.cfg.odometry, self.cfg.mapping,
+                    start_idx=1 + ci * chunk, map_skip=map_skip,
+                )
+            else:
+                qs = np.zeros((chunk, self.capacity, 3), np.uint16)
+                counts = np.zeros((chunk,), np.int32)
+                for i, pts in enumerate(batch):
+                    qs[i], counts[i] = lo.quantize_scan(
+                        np.asarray(pts), self.capacity
+                    )
+                odo_state, map_state, op, mp = dm.slam_chunk_quantized(
+                    odo_state, map_state, jnp.asarray(qs), jnp.asarray(counts),
+                    lcfg, self.cfg.odometry, self.cfg.mapping,
+                    start_idx=1 + ci * chunk, map_skip=map_skip,
+                )
             chunks.append((op.q, op.t, mp.q, mp.t))
         fetched = [np.asarray(_cat([c[i] for c in chunks])) for i in range(4)]
         wall = time.time() - t0

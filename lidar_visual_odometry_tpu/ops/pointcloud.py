@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -386,6 +388,164 @@ def voxel_downsample_batched(
     out_mask = cnts > 0
     out_xyz = sum_xyz / jnp.maximum(cnts[..., None], 1.0)
     return PointBatch(out_xyz, out_mask)
+
+
+# ---------------------------------------------------------------------------
+# Polar packed ingest: the minimum-byte host→device scan representation.
+#
+# The raw-scan upload dominates the tunneled-TPU pipeline (~80 MB/s link), and
+# a lidar return is intrinsically polar: it lies near a known ring elevation
+# and a known azimuth column. Encoding (range, small angular offsets) instead
+# of xyz needs 4 bytes/cell on the dense (ring, W) grid — 2/3 of the uint16
+# xyz encoding at full capacity — and the decoded grid is *already* the range
+# image, so the device skips the global 131k-point compaction sort of
+# ``build_compact_scan`` and does a cheap per-ring row sort instead.
+#
+# Precision (HDL-64, W=2048): range 2 mm, azimuth offset (π/W)/127 ≈ 12 µrad
+# (1.5 mm @ 120 m), elevation offset (0.25°)/127 ≈ 34 µrad (4.1 mm @ 120 m) —
+# all at or below the 3.9 mm of the uint16 xyz path and ~20× below lidar
+# noise. Collisions keep the nearest return, exactly like
+# ``build_range_image`` (≡ scanRegistration.cpp:160-241 ring bucketing).
+# ---------------------------------------------------------------------------
+
+POLAR_RANGE_Q = 131.072 / 65536.0  # 2 mm over [0, 131) m; 0 = empty cell
+
+
+def ring_elevations(n_scans: int):
+    """(nominal elevation rad (R,), max half-spacing rad) for the ring
+    formulas of ``ring_index_hdl`` (``scanRegistration.cpp:168-199``)."""
+    i = np.arange(n_scans, dtype=np.float64)
+    if n_scans == 16:
+        nom, half = -15.0 + 2.0 * i, 1.0
+    elif n_scans == 32:
+        nom, half = (i + 0.5) * 4.0 / 3.0 - 92.0 / 3.0, 2.0 / 3.0
+    elif n_scans == 64:
+        nom = np.where(i < 32, 2.0 - i / 3.0, -8.83 - (i - 32) / 2.0)
+        half = 0.25
+    else:
+        raise ValueError(f"unsupported n_scans={n_scans}")
+    return np.radians(nom).astype(np.float32), float(np.radians(half))
+
+
+def _ring_index_np(xyz, n_scans: int):
+    """numpy twin of ``ring_index_hdl`` (host packer side)."""
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    angle = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
+    if n_scans == 16:
+        ring = np.floor((angle + 15.0) / 2.0 + 0.5).astype(np.int32)
+        ok = (ring >= 0) & (ring <= n_scans - 1)
+    elif n_scans == 32:
+        ring = np.floor((angle + 92.0 / 3.0) * 3.0 / 4.0).astype(np.int32)
+        ok = (ring >= 0) & (ring <= n_scans - 1)
+    elif n_scans == 64:
+        upper = np.floor((2.0 - angle) * 3.0 + 0.5).astype(np.int32)
+        lower = 32 + np.floor((-8.83 - angle) * 2.0 + 0.5).astype(np.int32)
+        ring = np.where(angle >= -8.83, upper, lower)
+        ok = (angle <= 2.0) & (angle >= -24.33) & (ring >= 0) & (ring <= 50)
+    else:
+        raise ValueError(f"unsupported n_scans={n_scans}")
+    return np.clip(ring, 0, n_scans - 1), ok
+
+
+def pack_polar_scan(
+    pts,
+    *,
+    n_scans: int,
+    width: int,
+    min_range: float,
+    max_range: float,
+):
+    """Host-side: raw (n, ≥3) float scan → (R, W, 2) uint16 polar image.
+
+    Channel 0 = quantized range (0 ⇒ empty cell); channel 1 = packed int8
+    angular offsets ``(el_off << 8) | az_off`` (biased by 128) relative to the
+    cell's ring elevation / azimuth-bin center. Nearest return wins a cell.
+    """
+    xyz = np.asarray(pts)[:, :3].astype(np.float32)
+    rng = np.sqrt(np.sum(xyz * xyz, axis=1))
+    ring, ok = _ring_index_np(xyz, n_scans)
+    ok = (
+        ok
+        & (rng > min_range)
+        & (rng < max_range)
+        & np.isfinite(xyz).all(axis=1)
+    )
+    ori = -np.arctan2(xyz[:, 1], xyz[:, 0])
+    col = np.clip(
+        np.floor((ori + np.pi) / (2.0 * np.pi) * width).astype(np.int32),
+        0, width - 1,
+    )
+
+    flat = ring * width + col
+    rmin = np.full((n_scans * width,), np.inf, np.float32)
+    np.minimum.at(rmin, flat[ok], rng[ok])
+    win = ok & (rmin[flat] == rng)
+
+    nominal, el_half = ring_elevations(n_scans)
+    az_q = np.pi / width / 127.0
+    el_q = el_half / 127.0
+
+    elev = np.arctan2(xyz[:, 2], np.sqrt(xyz[:, 0] ** 2 + xyz[:, 1] ** 2))
+    d_el = elev - nominal[ring]
+    d_az = ori - (-np.pi + (col.astype(np.float32) + 0.5)
+                  * (2.0 * np.pi / width))
+    qel = np.clip(np.rint(d_el / el_q), -127, 127).astype(np.int32) + 128
+    qaz = np.clip(np.rint(d_az / az_q), -127, 127).astype(np.int32) + 128
+    qr = np.clip(np.rint(rng / POLAR_RANGE_Q), 1, 65535).astype(np.uint16)
+
+    img = np.zeros((n_scans * width, 2), np.uint16)
+    img[flat[win], 0] = qr[win]
+    img[flat[win], 1] = ((qel[win] << 8) | qaz[win]).astype(np.uint16)
+    return img.reshape(n_scans, width, 2)
+
+
+def polar_to_compact(
+    img: jax.Array,  # (R, W, 2) uint16 from pack_polar_scan
+    *,
+    n_scans: int,
+    width: int,
+    min_range: float,
+    max_range: float,
+) -> CompactScan:
+    """Device-side decode: polar image → front-compacted scan.
+
+    The grid is already in (ring, azimuth) scan order, so compaction is one
+    per-ring data-carrying row sort (no global sort, no gathers)."""
+    nominal, el_half = ring_elevations(n_scans)
+    az_q = np.pi / width / 127.0
+    el_q = el_half / 127.0
+
+    rq = img[..., 0].astype(jnp.float32)
+    r = rq * POLAR_RANGE_Q
+    packed = img[..., 1].astype(jnp.int32)
+    az_off = (packed & 0xFF).astype(jnp.float32) - 128.0
+    el_off = (packed >> 8).astype(jnp.float32) - 128.0
+
+    colf = jnp.arange(width, dtype=jnp.float32)[None, :]
+    ori = (-jnp.pi + (colf + 0.5) * (2.0 * jnp.pi / width)
+           + az_off * az_q)
+    el = jnp.asarray(nominal)[:, None] + el_off * el_q
+    d = r * jnp.cos(el)
+    # ori = -atan2(y, x)  ⇒  x = d·cos(ori), y = -d·sin(ori)
+    x = d * jnp.cos(ori)
+    y = -d * jnp.sin(ori)
+    z = r * jnp.sin(el)
+    valid = (rq > 0.5) & (r > min_range) & (r < max_range)
+    rel = jnp.broadcast_to((colf + 0.5) / width, valid.shape)
+
+    inv = (~valid).astype(jnp.int32)
+    _, xs, ys, zs, rel_s, v_i = jax.lax.sort(
+        (inv, x, y, z, rel, valid.astype(jnp.int32)),
+        num_keys=1, is_stable=True, dimension=1,
+    )
+    count = jnp.sum(valid, axis=1).astype(jnp.int32)
+    idx = jnp.arange(width, dtype=jnp.int32)[None, :]
+    return CompactScan(
+        jnp.stack([xs, ys, zs], axis=-1),
+        idx < count[:, None],
+        rel_s,
+        count,
+    )
 
 
 def pad_points(xyz, n: int, extra=None):

@@ -210,6 +210,41 @@ class TestSlamChunk:
         ate_map2 = metrics.ate_rmse(mapped2.positions, gt, align=False)
         assert ate_map2 < max(1.5 * ate_odom, 0.06), (ate_odom, ate_map2)
 
+    def test_polar_ingest_close_to_quantized(self):
+        """slam_chunk_polar (packed polar ingest) tracks the uint16 path
+        within the ingest quantization floor, odometry and mapped alike."""
+        from lidar_visual_odometry_tpu.models.pipeline import FullPipeline
+        from lidar_visual_odometry_tpu.utils.config import (
+            OdometryConfig, SystemConfig,
+        )
+
+        n = 5
+        seq = synthetic.SyntheticSequence(
+            n_frames=n, width=900, noise=0.01, yaw_rate=0.01
+        )
+        scans = [seq.scan(k) for k in range(n)]
+        cfg = SystemConfig(
+            lidar=LidarConfig(azimuth_bins=1024),
+            odometry=OdometryConfig(outer_iters=5, gn_iters=4),
+            mapping=MappingConfig(
+                outer_iters=2, gn_iters=4,
+                corner_slot=4096, surf_slot=4096,
+                map_corner_cap=4096, map_surf_cap=8192,
+            ),
+        )
+        odo_a, map_a = FullPipeline(cfg, capacity=65536).run_chunked(
+            scans, chunk=2
+        )
+        odo_b, map_b = FullPipeline(cfg, capacity=65536).run_chunked(
+            scans, chunk=2, ingest="polar"
+        )
+        np.testing.assert_allclose(
+            odo_a.positions, odo_b.positions, atol=2e-2
+        )
+        np.testing.assert_allclose(
+            map_a.positions, map_b.positions, atol=3e-2
+        )
+
 
 class TestDeviceRefinement:
     def test_recovers_perturbed_pose(self):

@@ -256,3 +256,20 @@ class TestDeskew:
         # a looser bound (interpolated poses shrink effective motion per point)
         assert np.isfinite(t_est).all()
         assert np.linalg.norm(t_est - t_gt) < 0.6, (t_est, t_gt)
+
+    def test_polar_chunk_close_to_float(self):
+        """Packed polar ingest (range 2 mm + int8 angular offsets,
+        pointcloud.pack_polar_scan) must not move the trajectory beyond the
+        noise floor either."""
+        from lidar_visual_odometry_tpu.models.pipeline import OdometryPipeline
+        from lidar_visual_odometry_tpu.utils.config import SystemConfig
+
+        seq = synthetic.SyntheticSequence(n_frames=5, width=600, noise=0.005)
+        scans = [seq.scan(k) for k in range(4)]
+        cfg = SystemConfig(
+            lidar=LidarConfig(azimuth_bins=1024),
+            odometry=OdometryConfig(outer_iters=4, gn_iters=4),
+        )
+        a = OdometryPipeline(cfg).run_chunked(scans, chunk=3)
+        b = OdometryPipeline(cfg).run_chunked(scans, chunk=3, ingest="polar")
+        np.testing.assert_allclose(a.positions, b.positions, atol=2e-2)

@@ -174,3 +174,88 @@ class TestSynthetic:
         # relative GT is ~1 m forward
         R, t = seq.gt_relative(0)
         np.testing.assert_allclose(t[0], 1.0, atol=0.01)
+
+
+class TestPolarPack:
+    """pack_polar_scan → polar_to_compact: the minimum-byte ingest must be
+    geometrically faithful (range 2 mm, angular offsets ≤ ~4 mm @ 120 m)."""
+
+    def test_roundtrip_geometry(self):
+        scan = make_scan()  # (n, 3) HDL-64 raycast
+        img = pc.pack_polar_scan(
+            scan, n_scans=64, width=1024, min_range=0.1, max_range=120.0
+        )
+        assert img.shape == (64, 1024, 2) and img.dtype == np.uint16
+        cs = pc.polar_to_compact(
+            jnp.asarray(img), n_scans=64, width=1024,
+            min_range=0.1, max_range=120.0,
+        )
+        # compare against the float reference path on the same grid
+        xyz, mask = pc.pad_points(scan, 131072)
+        ref = pc.build_compact_scan(
+            jnp.asarray(xyz), jnp.asarray(mask),
+            n_scans=64, width=1024, min_range=0.1, max_range=120.0,
+        )
+        # ring 0 of the synthetic HDL-64 sits exactly on the 2.0° FOV gate
+        # (data/synthetic.py hdl64_elevations), so host-float vs device-float
+        # ulps legitimately flip its membership — compare rings whose counts
+        # agree (must be nearly all) row-by-row (both paths compact in
+        # azimuth scan order).
+        c1, c2 = np.asarray(cs.count), np.asarray(ref.count)
+        same = c1 == c2
+        assert same.sum() >= 62, (c1, c2)
+        v = np.asarray(ref.valid) & same[:, None]
+        err = np.linalg.norm(
+            np.asarray(cs.xyz)[v] - np.asarray(ref.xyz)[v], axis=-1
+        )
+        rng = np.linalg.norm(np.asarray(ref.xyz)[v], axis=-1)
+        # error budget: 1 mm range + (12 µrad az + 34 µrad el) · r + rounding
+        assert err.max() < 0.0015 + 6e-5 * rng.max(), (
+            err.max(), rng[err.argmax()],
+        )
+        np.testing.assert_allclose(
+            np.asarray(cs.rel_time)[v], np.asarray(ref.rel_time)[v],
+            atol=1e-6,
+        )
+
+    def test_empty_frame_decodes_empty(self):
+        img = np.zeros((16, 256, 2), np.uint16)
+        cs = pc.polar_to_compact(
+            jnp.asarray(img), n_scans=16, width=256,
+            min_range=0.1, max_range=120.0,
+        )
+        assert int(np.asarray(cs.count).sum()) == 0
+        assert not np.asarray(cs.valid).any()
+
+    def test_native_packer_matches_numpy(self):
+        """native/scanpack.cpp is a drop-in twin of pack_polar_scan: cells
+        agree except for ±1 offset-quantum rounding ulps (≤ 4 mm @ 120 m)."""
+        from lidar_visual_odometry_tpu.data import native_pack as npk
+
+        if npk._load() is None:  # toolchain-less environment
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        scans = [make_scan(), make_scan()[::2]]
+        out = npk.pack_polar_chunk(
+            scans, n_scans=64, width=1024, min_range=0.1, max_range=120.0,
+            n_frames=3,  # ragged chunk: frame 2 stays empty
+        )
+        ref = np.stack([
+            pc.pack_polar_scan(
+                s, n_scans=64, width=1024, min_range=0.1, max_range=120.0
+            )
+            for s in scans
+        ])
+        assert not out[2].any()
+        # range channel must match exactly; offsets within 1 count
+        np.testing.assert_array_equal(out[:2, ..., 0], ref[..., 0])
+        daz = (out[:2, ..., 1].astype(np.int32) & 0xFF) - (
+            ref[..., 1].astype(np.int32) & 0xFF
+        )
+        del_ = (out[:2, ..., 1].astype(np.int32) >> 8) - (
+            ref[..., 1].astype(np.int32) >> 8
+        )
+        assert np.abs(daz).max() <= 1 and np.abs(del_).max() <= 1
+        agree = (out[:2] == ref).all(axis=-1).mean()
+        assert agree > 0.99, agree
