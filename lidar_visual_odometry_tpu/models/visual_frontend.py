@@ -464,10 +464,11 @@ def visual_step(
     """One frame of visual odometry as three jitted programs
     (track → solve/update → replenish). Returns (table, T_cur_prev, Tw)."""
     uv1, ok = lk.track_pyramid_reverse_checked(
-        prev_pyr, cur_pyr, table.uv,
+        prev_pyr, cur_pyr, table.uv, table.active,
         win=cfg.lk_window, iters=cfg.lk_iters, levels=cfg.lk_levels,
         max_reverse_err=cfg.reverse_check_px,
         reverse_levels=cfg.lk_reverse_levels or None,
+        iters_coarse=cfg.lk_iters_coarse or None,
     )
     table, rel, new_pose_w = solve_and_update(
         uv1, ok, prev_dc, table, pose_w, warm_rel, cam, cfg
@@ -528,10 +529,11 @@ def visual_chunk(
         pyr = tuple(image.build_pyramid(img, cfg.lk_levels))
         dc = build_depth_cloud(pts, m)
         uv1, ok = lk.track_pyramid_reverse_checked(
-            carry.prev_pyr, pyr, carry.table.uv,
+            carry.prev_pyr, pyr, carry.table.uv, carry.table.active,
             win=cfg.lk_window, iters=cfg.lk_iters, levels=cfg.lk_levels,
             max_reverse_err=cfg.reverse_check_px,
             reverse_levels=cfg.lk_reverse_levels or None,
+            iters_coarse=cfg.lk_iters_coarse or None,
         )
         table, rel, pose_w = solve_and_update(
             uv1, ok, carry.prev_dc, carry.table, carry.pose_w,

@@ -62,17 +62,25 @@ def _track_level(img0, img1, gx, gy, uv0, guess, *, win: int, iters: int):
     return jax.vmap(per_feature)(uv0, guess)
 
 
-@partial(jax.jit, static_argnames=("win", "iters", "levels"))
+@partial(jax.jit, static_argnames=("win", "iters", "levels", "iters_coarse"))
 def track_pyramid(
     pyr0: tuple, pyr1: tuple, uv0: jax.Array,
     init_d: jax.Array | None = None,
+    active: jax.Array | None = None,
     *, win: int = 25, iters: int = 10, levels: int = 4,
+    iters_coarse: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Track features uv0 (N, 2, level-0 pixels) from pyr0 to pyr1.
 
     Coarse-to-fine over ``levels``; returns (uv1 (N, 2), ok (N,)).
     init_d: optional (N, 2) displacement warm start in level-0 pixels
     (e.g. the negated forward flow for a shallow reverse check).
+    active: optional (N,) mask — False rows skip the per-level solves on the
+    TPU kernel path (the fixed-capacity feature table is never full).
+    iters_coarse: GN iterations for levels > 0 (None = ``iters``). Coarse
+    levels only need to land the estimate inside the next level's basin
+    (< win/2 px), which a warm-started solve reaches in a few iterations;
+    the finest level keeps the full count for sub-pixel accuracy.
     """
     scale_top = 2.0 ** (levels - 1)
     if init_d is None:
@@ -88,6 +96,7 @@ def track_pyramid(
     strip_rows = ((win + 1 + 7) // 8 + 1) * 8
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
+        it = iters if (lvl == 0 or iters_coarse is None) else iters_coarse
         img0 = pyr0[lvl]
         img1 = pyr1[lvl]
         gx, gy = gradients(img0)
@@ -102,11 +111,11 @@ def track_pyramid(
             from . import pallas_lk
 
             d, ok = pallas_lk.lk_level(
-                img0, img1, gx, gy, uv0 / s, d, win=win, iters=iters
+                img0, img1, gx, gy, uv0 / s, d, active, win=win, iters=it
             )
         else:
             d, ok = _track_level(
-                img0, img1, gx, gy, uv0 / s, d, win=win, iters=iters
+                img0, img1, gx, gy, uv0 / s, d, win=win, iters=it
             )
         ok_all = ok_all & ok
         if lvl > 0:
@@ -121,12 +130,14 @@ def track_pyramid(
 
 
 @partial(jax.jit, static_argnames=("win", "iters", "levels",
-                                   "reverse_levels"))
+                                   "reverse_levels", "iters_coarse"))
 def track_pyramid_reverse_checked(
     pyr0: tuple, pyr1: tuple, uv0: jax.Array,
+    active: jax.Array | None = None,
     *, win: int = 25, iters: int = 10, levels: int = 4,
     max_reverse_err: float = 1.0,
     reverse_levels: int | None = None,
+    iters_coarse: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward + reverse track with round-trip gate ≤ max_reverse_err px.
 
@@ -139,11 +150,16 @@ def track_pyramid_reverse_checked(
     (the reference's cv::calcOpticalFlowPyrLK round trip,
     featureTracking.cpp:214-237).
     """
-    uv1, ok_f = track_pyramid(pyr0, pyr1, uv0, win=win, iters=iters, levels=levels)
+    uv1, ok_f = track_pyramid(
+        pyr0, pyr1, uv0, None, active,
+        win=win, iters=iters, levels=levels, iters_coarse=iters_coarse,
+    )
     rl = levels if reverse_levels is None else min(reverse_levels, levels)
+    # reverse pass: only forward survivors need the round-trip check
+    act_b = ok_f if active is None else (active & ok_f)
     uv0_back, ok_b = track_pyramid(
-        pyr1[:rl], pyr0[:rl], uv1, uv0 - uv1,
-        win=win, iters=iters, levels=rl,
+        pyr1[:rl], pyr0[:rl], uv1, uv0 - uv1, act_b,
+        win=win, iters=iters, levels=rl, iters_coarse=iters_coarse,
     )
     err = jnp.linalg.norm(uv0_back - uv0, axis=-1)
     return uv1, ok_f & ok_b & (err <= max_reverse_err)

@@ -144,6 +144,10 @@ class VisualConfig:
                                       # n>0: shallow reverse over the finest n
                                       # levels warm-started at the negated
                                       # forward flow (~25-40% LK savings)
+    lk_iters_coarse: int = 0          # 0 = lk_iters at every level; n>0 runs
+                                      # only n GN iterations on levels > 0
+                                      # (coarse levels just need to land in
+                                      # the next level's basin, < win/2 px)
     fast_threshold: float = 30.0
     depth_knn: int = 3                # depth association KNN (Frontend.cpp:241)
     gn_iters: int = 150               # visual GN cap (Frontend.cpp:401); the

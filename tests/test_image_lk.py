@@ -151,6 +151,42 @@ class TestPallasLK:
             np.asarray(d_ker).mean(0), [-2.0, -3.0], atol=1e-3
         )
 
+    def test_level_kernel_active_skip(self, rng):
+        """Inactive rows return (guess, ok=False) untouched; active rows are
+        bit-identical to the unmasked kernel."""
+        from lidar_visual_odometry_tpu.ops import pallas_lk
+        from lidar_visual_odometry_tpu.ops.image import gradients
+
+        H, W = 120, 300
+        base = rng.random((H + 10, W + 10)).astype(np.float32)
+        img0 = base[:H, :W]
+        img1 = base[3:H + 3, 2:W + 2]
+        N = 32
+        uv = np.stack(
+            [rng.uniform(20, W - 20, N), rng.uniform(20, H - 20, N)], -1
+        ).astype(np.float32)
+        gx, gy = gradients(jnp.asarray(img0))
+        guess = rng.normal(size=(N, 2)).astype(np.float32)
+        active = rng.random(N) < 0.5
+
+        d_all, ok_all = pallas_lk.lk_level(
+            jnp.asarray(img0), jnp.asarray(img1), gx, gy,
+            jnp.asarray(uv), jnp.asarray(guess), win=15, iters=6,
+            interpret=True,
+        )
+        d_m, ok_m = pallas_lk.lk_level(
+            jnp.asarray(img0), jnp.asarray(img1), gx, gy,
+            jnp.asarray(uv), jnp.asarray(guess), jnp.asarray(active),
+            win=15, iters=6, interpret=True,
+        )
+        d_m, ok_m = np.asarray(d_m), np.asarray(ok_m)
+        np.testing.assert_array_equal(d_m[active], np.asarray(d_all)[active])
+        np.testing.assert_array_equal(
+            ok_m[active], np.asarray(ok_all)[active]
+        )
+        np.testing.assert_array_equal(d_m[~active], guess[~active])
+        assert not ok_m[~active].any()
+
 
 class TestBoxSum:
     def test_matches_convolve2d(self, rng):
