@@ -63,16 +63,68 @@ def solve_map_pose(
     surf_pts_d, surf_mask_d = surf_q.xyz, surf_q.mask
 
     on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from ..ops import pallas_nn
+    # Cell-windowed association (ops/pallas_nn.block_topk_windowed): both
+    # sides sorted by a 2 m coarse-cell raster key so the kernel can skip
+    # ~80-95% of the candidate chunks per query tile. Exact for the 1 m
+    # association gates (cell ≥ gate); requires TPU tiles to divide.
+    windowed = (
+        on_tpu
+        and cfg.windowed_nn
+        and cfg.nn_cell >= max(1.0, cfg.corner_nn_max_dist)
+        and corner_cand.xyz.shape[0] % 512 == 0
+        and surf_cand.xyz.shape[0] % 512 == 0
+    )
 
-    def nn5(qpts, cands: PointBatch, q_tile):
-        q_tile = math.gcd(qpts.shape[0], q_tile)
+    if windowed:
+        half = (cfg.nn_grid_w // 2) * cfg.nn_cell
+        origin = init_pose.t[:2] - half
+        ckw = dict(cell=cfg.nn_cell, grid_w=cfg.nn_grid_w)
+        corner_sorted, corner_keys = pallas_nn.sort_by_cell(
+            corner_cand.xyz, corner_cand.mask, origin, **ckw
+        )
+        surf_sorted, surf_keys = pallas_nn.sort_by_cell(
+            surf_cand.xyz, surf_cand.mask, origin, **ckw
+        )
+
+        def sort_queries(pts, mask):
+            # sort by the init-pose world cell so query tiles are spatially
+            # tight (efficiency only — ranges are recomputed per iteration)
+            w = se3.se3_apply(init_pose, pts)
+            keys = pallas_nn.cell_keys(w, origin, **ckw)
+            _, xs, ys, zs, ms = jax.lax.sort(
+                (keys, pts[:, 0], pts[:, 1], pts[:, 2],
+                 mask.astype(jnp.int32)),
+                num_keys=1,
+            )
+            return jnp.stack([xs, ys, zs], axis=-1), ms.astype(bool)
+
+        corner_pts_d, corner_mask_d = sort_queries(
+            corner_pts_d, corner_mask_d
+        )
+        surf_pts_d, surf_mask_d = sort_queries(surf_pts_d, surf_mask_d)
+        prepped = {
+            "corner": (corner_sorted, corner_keys),
+            "surf": (surf_sorted, surf_keys),
+        }
+
+    def nn5(qpts, cands: PointBatch, q_tile, which=None):
         """(dist (Q,5), nbr coords (Q,5,3)) — Pallas streaming top-k on TPU
         (index-carrying kernel + one small gather), XLA chunked top-k
         elsewhere. Unfilled slots (dist ≥ 1e30) gather candidate 0 — every
         consumer gates on the distance first."""
+        if windowed:
+            c_sorted, c_keys = prepped[which]
+            qk = pallas_nn.cell_keys(qpts, origin, **ckw)
+            dist, idx = pallas_nn.block_topk_windowed(
+                qpts, qk, c_sorted, c_keys, k=cfg.knn,
+                q_tile=math.gcd(qpts.shape[0], cfg.nn_q_tile),
+                grid_w=cfg.nn_grid_w,
+            )
+            return dist, c_sorted[idx]
+        q_tile = math.gcd(qpts.shape[0], q_tile)
         if on_tpu:
-            from ..ops import pallas_nn
-
             baked = pallas_nn.bake_mask(cands.xyz, cands.mask)
             dist, idx = pallas_nn.block_topk(
                 qpts, baked, k=cfg.knn, q_tile=q_tile
@@ -86,7 +138,7 @@ def solve_map_pose(
     def outer(pose, _):
         # --- corner → line association (laserMapping.cpp:577-621) ---
         cw = se3.se3_apply(pose, corner_pts_d)
-        cdist, cnbrs = nn5(cw, local.corner, 1024)
+        cdist, cnbrs = nn5(cw, local.corner, 1024, which="corner")
         # 5th NN within 1 m² (laserMapping.cpp:584)
         cnbr_ok = cdist < cfg.corner_nn_max_dist**2
         centroid, direction, line_ok = fit.line_fit(
@@ -103,7 +155,7 @@ def solve_map_pose(
 
         # --- surf → plane association (laserMapping.cpp:643-687) ---
         sw = se3.se3_apply(pose, surf_pts_d)
-        sdist, snbrs = nn5(sw, local.surf, 1024)
+        sdist, snbrs = nn5(sw, local.surf, 1024, which="surf")
         snbr_ok = sdist < 1.0                      # (laserMapping.cpp:653)
         n, d, plane_ok = fit.plane_fit(snbrs, snbr_ok, tol=cfg.plane_fit_tol)
         plane = lf.NormPlaneCorr(

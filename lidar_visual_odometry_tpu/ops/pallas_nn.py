@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 BAKE_FAR = 1e6  # masked candidates are moved here (distance² ≈ 1e12)
 _BIG = np.float32(1e30)  # np scalar: no eager backend init at import
+_IMAX = np.int32(2**31 - 1)
 
 
 def bake_mask(xyz: jax.Array, mask: jax.Array) -> jax.Array:
@@ -417,6 +418,171 @@ def _block_topk_loop_kernel(k, c_chunk, n_chunks, q_ref, ct_ref, d_out, i_out):
     ds, ii = jax.lax.fori_loop(0, n_chunks, chunk_step, (ds0, ii0))
     d_out[:] = ds
     i_out[:] = ii
+
+
+def _block_topk_windowed_kernel(k, c_chunk, n_chunks, reach,
+                                q_ref, qlo_ref, qhi_ref, clo_ref, chi_ref,
+                                ct_ref, d_out, i_out):
+    """Cell-windowed streaming top-k: candidate chunks whose coarse-cell key
+    range cannot contain a neighbor cell of this query tile are skipped.
+
+    Both sides are sorted by a raster key ``kx*W + ky`` of a 2D cell grid
+    (cell ≥ the association gates, so the 3×3 cell neighborhood provably
+    contains every gated neighbor — any cell adjacent to cell ``c`` has key
+    within ``c ± (W+1)``). qlo/qhi are per-query-tile key ranges, clo/chi
+    per-candidate-chunk ranges (SMEM scalars); the chunk loop body runs under
+    ``lax.cond`` on range overlap. Skipped chunks leave the running top-k
+    untouched — exactness is preserved for every consumer that gates at
+    ≤ cell distance, and a worst-case (single dense row) degrades to the
+    dense kernel, never to wrong answers.
+    """
+    qi = pl.program_id(0)
+    lo = qlo_ref[qi] - reach
+    hi = qhi_ref[qi] + reach
+    q = q_ref[:]                        # (QT, 3)
+    QT = q.shape[0]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    col = jax.lax.broadcasted_iota(jnp.int32, (QT, c_chunk), 1)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (QT, 2 * k), 1)
+
+    def chunk_body(ci, carry):
+        ds, ii = carry
+        base = ci * c_chunk
+        c = ct_ref[:, pl.dslice(base, c_chunk)]   # (3, c_chunk), lane-major
+        dx = qx - c[0:1, :]
+        dy = qy - c[1:2, :]
+        dz = qz - c[2:3, :]
+        dm = dx * dx + dy * dy + dz * dz          # (QT, c_chunk)
+
+        loc_d, loc_i = [], []
+        for _ in range(k):
+            i = jnp.argmin(dm, axis=1)
+            loc_d.append(jnp.min(dm, axis=1))
+            loc_i.append(base + i)
+            dm = jnp.where(col == i[:, None], 1e30, dm)
+
+        md = jnp.concatenate([ds, jnp.stack(loc_d, axis=1)], axis=1)
+        mi = jnp.concatenate([ii, jnp.stack(loc_i, axis=1)], axis=1)
+        nd, ni = [], []
+        for _ in range(k):
+            j = jnp.argmin(md, axis=1)
+            nd.append(jnp.min(md, axis=1))
+            oh = col2 == j[:, None]
+            ni.append(jnp.sum(jnp.where(oh, mi, 0), axis=1))
+            md = jnp.where(oh, 1e30, md)
+        return jnp.stack(nd, axis=1), jnp.stack(ni, axis=1)
+
+    def chunk_step(ci, carry):
+        hit = (clo_ref[ci] <= hi) & (chi_ref[ci] >= lo)
+        return jax.lax.cond(hit, chunk_body, lambda _, c: c, ci, carry)
+
+    ds0 = jnp.full((QT, k), 1e30, jnp.float32)
+    ii0 = jnp.zeros((QT, k), jnp.int32)
+    ds, ii = jax.lax.fori_loop(0, n_chunks, chunk_step, (ds0, ii0))
+    d_out[:] = ds
+    i_out[:] = ii
+
+
+@partial(jax.jit, static_argnames=("k", "q_tile", "c_tile", "grid_w",
+                                   "interpret"))
+def block_topk_windowed(
+    q_xyz: jax.Array,      # (Q, 3) — SORTED by cell key (efficiency only)
+    q_keys: jax.Array,     # (Q,) int32 raster cell keys of q_xyz
+    c_sorted: jax.Array,   # (C, 3) baked candidates SORTED by cell key
+    c_keys: jax.Array,     # (C,) int32 keys of c_sorted (invalid = huge)
+    *,
+    k: int = 5,
+    q_tile: int = 256,
+    c_tile: int = 512,
+    grid_w: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Cell-pruned k-NN: (dist (Q, k), index (Q, k)) into ``c_sorted``.
+
+    Exact within one cell radius: any candidate within ``cell`` (the key
+    grid's cell size) of a query is guaranteed considered; farther ones may
+    be replaced by the 1e30 sentinel. Callers must gate at ≤ cell distance
+    (the scan-to-map 1 m gates with 2 m cells, ``laserMapping.cpp:584,653``).
+    Skipping is driven by key-range overlap per (query tile × candidate
+    chunk); use ``cell_keys``/``sort_by_cell`` to build the inputs.
+    """
+    Q = q_xyz.shape[0]
+    C = c_sorted.shape[0]
+    assert Q % q_tile == 0 and C % c_tile == 0
+    n_tiles = Q // q_tile
+    n_c = C // c_tile
+    qlo = jnp.min(q_keys.reshape(n_tiles, q_tile), axis=1)
+    qhi = jnp.max(q_keys.reshape(n_tiles, q_tile), axis=1)
+    clo = jnp.min(c_keys.reshape(n_c, c_tile), axis=1)
+    chi = jnp.max(c_keys.reshape(n_c, c_tile), axis=1)
+
+    d, idx = pl.pallas_call(
+        partial(_block_topk_windowed_kernel, k, c_tile, n_c, grid_w + 1),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((q_tile, 3), lambda qi: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles,), lambda qi: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_tiles,), lambda qi: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_c,), lambda qi: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_c,), lambda qi: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, C), lambda qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, k), lambda qi: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, k), lambda qi: (qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, k), jnp.float32),
+            jax.ShapeDtypeStruct((Q, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_xyz, qlo, qhi, clo, chi, c_sorted.T)
+    return d, idx
+
+
+def cell_keys(
+    xyz: jax.Array, origin: jax.Array, *, cell: float, grid_w: int
+) -> jax.Array:
+    """Raster key ``kx*W + ky`` of the 2D coarse cell grid anchored at
+    ``origin`` (xy, (2,)). Out-of-coverage points clamp to edge cells —
+    consistent on both sides, so windowing stays conservative."""
+    kx = jnp.clip(
+        jnp.floor((xyz[:, 0] - origin[0]) * (1.0 / cell)).astype(jnp.int32),
+        0, grid_w - 1,
+    )
+    ky = jnp.clip(
+        jnp.floor((xyz[:, 1] - origin[1]) * (1.0 / cell)).astype(jnp.int32),
+        0, grid_w - 1,
+    )
+    return kx * grid_w + ky
+
+
+def sort_by_cell(
+    xyz: jax.Array, mask: jax.Array, origin: jax.Array,
+    *, cell: float, grid_w: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Bake + sort a candidate cloud by cell key for ``block_topk_windowed``.
+
+    Returns (sorted baked xyz (C, 3), sorted keys (C,)); invalid points get
+    key INT32_MAX (sort last, never overlap a query window) and BAKE_FAR
+    coordinates (distance sentinel if a boundary chunk touches them).
+    """
+    baked = bake_mask(xyz, mask)
+    keys = jnp.where(
+        mask, cell_keys(baked, origin, cell=cell, grid_w=grid_w), _IMAX
+    )
+    ks, xs, ys, zs = jax.lax.sort(
+        (keys, baked[:, 0], baked[:, 1], baked[:, 2]), num_keys=1
+    )
+    return jnp.stack([xs, ys, zs], axis=-1), ks
 
 
 @partial(jax.jit, static_argnames=("k", "q_tile", "c_tile", "interpret",

@@ -108,6 +108,14 @@ class MappingConfig:
     map_corner_cap: int = 16384       # bounded voxel-map capacities (points)
     map_surf_cap: int = 32768
     map_drop_radius: float = 150.0    # evict beyond this (≡ ±125 m 5x5x3 hood)
+    # Cell-windowed 5-NN (ops/pallas_nn.block_topk_windowed): prune candidate
+    # chunks by coarse-cell key-range overlap. nn_cell must be ≥ the 1 m
+    # association gates (exactness condition); nn_grid_w cells of nn_cell
+    # must cover the map extent (256 × 2 m = ±256 m > drop radius).
+    windowed_nn: bool = True
+    nn_cell: float = 2.0
+    nn_grid_w: int = 256
+    nn_q_tile: int = 256
 
 
 @dataclass(frozen=True)

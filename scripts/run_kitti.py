@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--sequence", type=int, default=0)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--mapping", action="store_true", help="scan-to-map stage")
+    ap.add_argument("--camera", action="store_true",
+                    help="fused camera+lidar mode (CamLidarPipeline): feed "
+                    "image_0 alongside the scans, report both trajectories "
+                    "(≡ kittiHelper.cpp:91-93,153-162 publishing /image_left "
+                    "into CamLidarProcess)")
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--map-skip", type=int, default=2,
                     help="mapping cadence (≡ mapping_skip_frame)")
@@ -72,8 +77,41 @@ def main() -> None:
         scans.append(xyz[mask])
     reader.close()
 
+    visual_result = None
     t0 = time.time()
-    if args.mapping:
+    if args.camera:
+        import dataclasses
+
+        from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+            CamLidarPipeline,
+        )
+        from lidar_visual_odometry_tpu.utils.config import ExtrinsicConfig
+
+        # per-sequence extrinsic from the dataset's own calib.txt (Tr:
+        # velodyne→cam0) instead of the seq-00 default
+        cfg = dataclasses.replace(
+            cfg, extrinsic=ExtrinsicConfig(
+                matrix=tuple(map(tuple, seq.Tr.astype(float)))
+            ),
+        )
+        H, W = cfg.camera.height, cfg.camera.width
+        images = []
+        for k in range(n):
+            im = seq.image(k)
+            # edge-replicate pad to the static camera shape (KITTI grays are
+            # 1241×376 etc.; cfg pads to 1280×384 — intrinsics unchanged,
+            # principal point stays valid for bottom/right padding)
+            ph, pw = max(0, H - im.shape[0]), max(0, W - im.shape[1])
+            images.append(np.pad(im[:H, :W], ((0, ph), (0, pw)), mode="edge"))
+        pipe = CamLidarPipeline(cfg)
+        res = pipe.run_chunked(
+            scans, images, chunk=args.chunk, progress=True, ingest=args.ingest,
+        )
+        from lidar_visual_odometry_tpu.models.pipeline import TrajectoryResult
+
+        result = TrajectoryResult(res.lidar_positions, res.lidar_quats)
+        visual_result = res
+    elif args.mapping:
         pipe = FullPipeline(cfg)
         odom, mapped = pipe.run_chunked(
             scans, chunk=args.chunk, progress=True,
@@ -94,6 +132,14 @@ def main() -> None:
     with open(out_path, "w") as f:
         for T in mats:
             f.write(" ".join(f"{v:.6e}" for v in T[:3].reshape(-1)) + "\n")
+    if visual_result is not None:
+        vis_path = out_path.replace(".txt", "_visual.txt")
+        vmats = poses_to_matrices(
+            visual_result.visual_quats, visual_result.visual_positions
+        )
+        with open(vis_path, "w") as f:
+            for T in vmats:
+                f.write(" ".join(f"{v:.6e}" for v in T[:3].reshape(-1)) + "\n")
 
     report = {
         "sequence": args.sequence,
@@ -110,6 +156,12 @@ def main() -> None:
         t_rel, r_rel = metrics.kitti_relative_errors(mats, gt_rel)
         report["t_rel_pct"] = round(t_rel, 3)
         report["r_rel_deg_per_100m"] = round(r_rel, 4)
+        if visual_result is not None:
+            report["ate_visual_m"] = round(
+                metrics.ate_rmse(
+                    visual_result.visual_positions, gt_rel[:, :3, 3]
+                ), 4,
+            )
         if args.plot:
             from lidar_visual_odometry_tpu.eval.plot import plot_trajectory
 

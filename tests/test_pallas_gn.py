@@ -216,3 +216,76 @@ def test_block_topk_packed_matches_bruteforce(rng):
     want_set = np.sort(order, axis=1)
     agree = (got_set == want_set).mean()
     assert agree > 0.97, agree
+
+
+def test_block_topk_windowed_matches_bruteforce_within_cell(rng):
+    """Cell-windowed variant: every neighbor within one cell (2 m) of a query
+    must be found exactly; farther slots may carry the 1e30 sentinel. This is
+    the exactness contract solve_map_pose relies on (its gates are 1 m)."""
+    from lidar_visual_odometry_tpu.ops import pallas_nn
+
+    Q, C, K, CELL, GW = 256, 1024, 5, 2.0, 64
+    # clustered points so cells are meaningfully occupied
+    centers = rng.normal(size=(12, 3)).astype(np.float32) * 20
+    q = (centers[rng.integers(0, 12, Q)]
+         + rng.normal(size=(Q, 3)).astype(np.float32))
+    c = (centers[rng.integers(0, 12, C)]
+         + rng.normal(size=(C, 3)).astype(np.float32) * 1.5)
+    mask = rng.uniform(size=C) > 0.3
+    origin = jnp.asarray(
+        np.min(np.concatenate([q, c]), axis=0)[:2] - 3.0, jnp.float32
+    )
+
+    c_sorted, c_keys = pallas_nn.sort_by_cell(
+        jnp.asarray(c), jnp.asarray(mask), origin, cell=CELL, grid_w=GW
+    )
+    qk = pallas_nn.cell_keys(jnp.asarray(q), origin, cell=CELL, grid_w=GW)
+    d, idx = pallas_nn.block_topk_windowed(
+        jnp.asarray(q), qk, c_sorted, c_keys,
+        k=K, q_tile=64, c_tile=128, grid_w=GW, interpret=True,
+    )
+    d = np.asarray(d)
+    got_coords = np.asarray(c_sorted)[np.asarray(idx)]
+
+    D = np.linalg.norm(q[:, None] - c[None], axis=-1) ** 2
+    D[:, ~mask] = np.inf
+    order = np.argsort(D, axis=1)[:, :K]
+    want_d = np.take_along_axis(D, order, axis=1)
+    want_c = c[order]
+    within = want_d < CELL * CELL
+    # inside the cell radius: exact distances AND coordinates
+    np.testing.assert_allclose(d[within], want_d[within], rtol=1e-4)
+    np.testing.assert_allclose(got_coords[within], want_c[within], atol=1e-5)
+    # outside: never closer than the true distance (no fabricated neighbors)
+    assert np.all(d[~within] >= want_d[~within] - 1e-3)
+    # slot ordering is ascending (consumers index the k-th NN)
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
+
+
+def test_block_topk_windowed_query_sorted_unaffected(rng):
+    """Query order must not change results (sorting queries is an efficiency
+    choice; ranges are recomputed per call)."""
+    from lidar_visual_odometry_tpu.ops import pallas_nn
+
+    Q, C, K, CELL, GW = 128, 512, 3, 2.0, 32
+    q = rng.normal(size=(Q, 3)).astype(np.float32) * 10
+    c = rng.normal(size=(C, 3)).astype(np.float32) * 10
+    mask = np.ones(C, bool)
+    origin = jnp.asarray(np.array([-32.0, -32.0], np.float32))
+    c_sorted, c_keys = pallas_nn.sort_by_cell(
+        jnp.asarray(c), jnp.asarray(mask), origin, cell=CELL, grid_w=GW
+    )
+
+    def run(qq):
+        qk = pallas_nn.cell_keys(jnp.asarray(qq), origin, cell=CELL, grid_w=GW)
+        d, i = pallas_nn.block_topk_windowed(
+            jnp.asarray(qq), qk, c_sorted, c_keys,
+            k=K, q_tile=32, c_tile=128, grid_w=GW, interpret=True,
+        )
+        return np.asarray(d), np.asarray(i)
+
+    d1, i1 = run(q)
+    perm = rng.permutation(Q)
+    d2, i2 = run(q[perm])
+    np.testing.assert_allclose(d2, d1[perm], atol=0)
+    np.testing.assert_array_equal(i2, i1[perm])

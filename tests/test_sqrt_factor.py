@@ -88,6 +88,7 @@ class TestFactorParity:
         ys, xs = np.mgrid[4:92:4, 4:124:4]
         z = depth0[ys, xs]
         ok = np.isfinite(z)
+        z = np.where(ok, z, 0.0)
         pts = np.stack(
             [(xs - CAM["cx"]) / CAM["fx"] * z,
              (ys - CAM["cy"]) / CAM["fy"] * z, z], -1

@@ -154,6 +154,7 @@ class TestVisualOdometryEndToEnd:
             xs = rng.integers(0, CAM["width"], 4096)
             z = depth[ys, xs]
             okm = np.isfinite(z)
+            z = np.where(okm, z, 0.0)
             pts_cam = np.stack(
                 [
                     (xs - CAM["cx"]) / CAM["fx"] * z,
@@ -201,6 +202,7 @@ class TestVisualChunk:
             xs = rng.integers(0, CAM["width"], 4096)
             z = depth[ys, xs]
             okm = np.isfinite(z)
+            z = np.where(okm, z, 0.0)
             pts_cam = np.stack(
                 [(xs - CAM["cx"]) / CAM["fx"] * np.where(okm, z, 1.0),
                  (ys - CAM["cy"]) / CAM["fy"] * np.where(okm, z, 1.0),
