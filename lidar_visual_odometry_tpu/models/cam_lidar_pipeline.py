@@ -18,6 +18,7 @@ mapped back to the lidar frame via ``T_w_lidar = T_w_cam · T_cam_lidar``
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 
@@ -52,6 +53,64 @@ def _map_cam_poses_to_lidar(cam_q, cam_t, T_lidar_cam, T_cam_lidar):
         se3.se3_compose(T_lidar_cam, se3.Pose(cam_q, cam_t)), T_cam_lidar
     )
     return p.q, p.t
+
+
+@partial(jax.jit, static_argnames=("lidar_cfg", "odom_cfg", "vis_cfg",
+                                   "max_prior_step"))
+def camlidar_coupled_chunk(
+    odo_state,
+    vis_state,
+    pimgs: jax.Array,       # (K, R, W, 2) uint16 packed polar scans
+    imgs: jax.Array,        # (K, H, W) uint8
+    clouds: jax.Array,      # (K, M, 3) uint16 camera-frame depth clouds
+    cmasks: jax.Array,      # (K, M)
+    T_lidar_cam: se3.Pose,
+    T_cam_lidar: se3.Pose,
+    cam,
+    lidar_cfg,
+    odom_cfg,
+    vis_cfg,
+    max_prior_step: float = 2.0,
+):
+    """K frames of TIGHTLY-COUPLED camera+lidar odometry in one device
+    program: per frame the visual frontend runs first and its relative pose
+    (mapped to the lidar frame through the extrinsic chain) warm-starts the
+    scan-to-scan Gauss-Newton instead of the constant-velocity prior.
+
+    This is the coupling the reference sketches but ships disabled
+    (``CamLidarProcess.cpp:278-307``, ``Frontend.cpp:90-127`` ``#if 0``): the
+    visual estimate finally gets a consumer. A plausibility gate (prior
+    translation < ``max_prior_step``) falls back to constant velocity when
+    visual tracking degenerates — the degraded-mode behavior those blocks
+    hint at. Returns (odo_state, vis_state, lidar poses, visual poses).
+    """
+    from .scan_registration import register_polar_impl
+
+    def step(carry, frame):
+        odo, vis = carry
+        pimg, img, pts, m = frame
+        vis2, rel_cam = vf.chunk_frame_step(vis, img, pts, m, cam, vis_cfg)
+        # T_prevlidar_curlidar = T_lidar_cam ∘ T_prevcam_curcam ∘ T_cam_lidar;
+        # solve_and_update returns rel = T_cur_prev, so invert
+        prior = se3.se3_compose(
+            T_lidar_cam,
+            se3.se3_compose(se3.se3_inverse(rel_cam), T_cam_lidar),
+        )
+        ok = jnp.linalg.norm(prior.t) < max_prior_step
+        init = se3.Pose(
+            jnp.where(ok, prior.q, odo.pose_rel.q),
+            jnp.where(ok, prior.t, odo.pose_rel.t),
+        )
+        feats = register_polar_impl(pimg, lidar_cfg).features
+        odo2, pose_w = lo.odometry_step(odo, feats, odom_cfg, init_rel=init)
+        return (odo2, vis2), (
+            pose_w.q, pose_w.t, vis2.pose_w.q, vis2.pose_w.t,
+        )
+
+    (odo_state, vis_state), (lq, lt, vq, vt) = jax.lax.scan(
+        step, (odo_state, vis_state), (pimgs, imgs, clouds, cmasks)
+    )
+    return odo_state, vis_state, se3.Pose(lq, lt), se3.Pose(vq, vt)
 
 
 @dataclass
@@ -150,19 +209,27 @@ class CamLidarPipeline:
 
     def run_chunked(self, scans: list, images: list, chunk: int = 8,
                     progress: bool = False,
-                    ingest: str = "uint16") -> CamLidarResult:
+                    ingest: str = "uint16",
+                    coupled: bool = False) -> CamLidarResult:
         """The fused fast path: per chunk ONE lidar device program
         (odometry_chunk_quantized / _polar) + ONE visual device program
         (visual_frontend.visual_chunk), both dispatched asynchronously —
         2 dispatches per K frames instead of ~5 per frame. Assumes
         1:1 scan/image pairing (the dataset-eval/bench mode). ingest =
-        "uint16" | "polar" (see OdometryPipeline.run_chunked)."""
+        "uint16" | "polar" (see OdometryPipeline.run_chunked).
+
+        coupled=True runs the TIGHTLY-COUPLED single program instead
+        (camlidar_coupled_chunk): the visual relative pose warm-starts the
+        lidar scan-to-scan solve — the reference's dormant coupling
+        (CamLidarProcess.cpp:278-307) made live. Requires ingest="polar"."""
         import time
 
         import jax
 
         n = len(scans)
         assert len(images) == n
+        if coupled:
+            assert ingest == "polar", "coupled mode uses the polar ingest"
 
         # frame 0 bootstraps both carried states
         raw0 = np.asarray(scans[0])[:, :3]
@@ -219,17 +286,28 @@ class CamLidarPipeline:
                     min_range=lcfg.min_range, max_range=lcfg.max_range,
                     n_frames=chunk,
                 )
-                odo_state, poses_l = lo.odometry_chunk_polar(
-                    odo_state, jnp.asarray(pimgs), lcfg, self.cfg.odometry
-                )
+                if coupled:
+                    odo_state, vis_state, poses_l, poses_c = (
+                        camlidar_coupled_chunk(
+                            odo_state, vis_state, jnp.asarray(pimgs),
+                            dimgs, dcx, dcm,
+                            self.T_lidar_cam, self.T_cam_lidar, self.cam,
+                            lcfg, self.cfg.odometry, self.cfg.visual,
+                        )
+                    )
+                else:
+                    odo_state, poses_l = lo.odometry_chunk_polar(
+                        odo_state, jnp.asarray(pimgs), lcfg, self.cfg.odometry
+                    )
             else:
                 odo_state, poses_l = lo.odometry_chunk_quantized(
                     odo_state, jnp.asarray(qs), jnp.asarray(counts),
                     lcfg, self.cfg.odometry
                 )
-            vis_state, poses_c = vf.visual_chunk(
-                vis_state, dimgs, dcx, dcm, self.cam, self.cfg.visual
-            )
+            if not coupled:
+                vis_state, poses_c = vf.visual_chunk(
+                    vis_state, dimgs, dcx, dcm, self.cam, self.cfg.visual
+                )
             lq.append(poses_l.q)
             lt.append(poses_l.t)
             vq.append(poses_c.q)

@@ -159,13 +159,19 @@ def init_state(feats: ScanFeatures) -> OdometryState:
 
 
 def odometry_step(
-    state: OdometryState, feats: ScanFeatures, cfg: OdometryConfig
+    state: OdometryState, feats: ScanFeatures, cfg: OdometryConfig,
+    init_rel: se3.Pose | None = None,
 ) -> tuple[OdometryState, se3.Pose]:
     """One frame: solve T_last_curr (warm-started), integrate world pose,
     roll feature state. Pure function — composable into fused/scanned
-    programs."""
+    programs.
+
+    init_rel overrides the constant-velocity warm start (state.pose_rel) —
+    the coupled cam-lidar mode feeds the visual relative pose here (the
+    reference's dormant coupling, CamLidarProcess.cpp:278-307)."""
     rel = scan_to_scan_impl(
-        feats, state.prev_less_sharp, state.prev_less_flat, state.pose_rel, cfg
+        feats, state.prev_less_sharp, state.prev_less_flat,
+        state.pose_rel if init_rel is None else init_rel, cfg,
     )
     pose_w = se3.se3_compose(state.pose_w, rel)
     return OdometryState(pose_w, rel, feats.less_sharp, feats.less_flat), pose_w

@@ -513,40 +513,54 @@ def visual_chunk(
     """
     def step(carry: VisualChunkState, frame):
         img, pts, m = frame
-        if img.dtype == jnp.uint8:
-            # images upload as uint8 (¼ the tunnel bytes; cameras are 8-bit
-            # anyway) and dequantize on device
-            img = img.astype(jnp.float32) * (1.0 / 255.0)
-        if pts.dtype == jnp.uint16:
-            # depth clouds upload like scans: uint16 @ 3.9 mm
-            from .lidar_odometry import QUANT_OFFSET, QUANT_SCALE
-
-            pts = pts.astype(jnp.float32) * QUANT_SCALE + QUANT_OFFSET
-        if cfg.use_clahe:
-            img = image.clahe(
-                img, grid=cfg.clahe_grid, clip_limit=cfg.clahe_clip
-            )
-        pyr = tuple(image.build_pyramid(img, cfg.lk_levels))
-        dc = build_depth_cloud(pts, m)
-        uv1, ok = lk.track_pyramid_reverse_checked(
-            carry.prev_pyr, pyr, carry.table.uv, carry.table.active,
-            win=cfg.lk_window, iters=cfg.lk_iters, levels=cfg.lk_levels,
-            max_reverse_err=cfg.reverse_check_px,
-            reverse_levels=cfg.lk_reverse_levels or None,
-            iters_coarse=cfg.lk_iters_coarse or None,
-        )
-        table, rel, pose_w = solve_and_update(
-            uv1, ok, carry.prev_dc, carry.table, carry.pose_w,
-            carry.warm_rel, cam, cfg,
-        )
-        table = _replenish(table, pyr[0], cam, pose_w, cfg)
-        new_carry = VisualChunkState(table, pose_w, rel, pyr, dc)
-        return new_carry, (pose_w.q, pose_w.t)
+        new_carry, rel = chunk_frame_step(carry, img, pts, m, cam, cfg)
+        return new_carry, (new_carry.pose_w.q, new_carry.pose_w.t)
 
     state, (qs, ts) = jax.lax.scan(
         step, state, (imgs, clouds, cloud_masks)
     )
     return state, se3.Pose(qs, ts)
+
+
+def chunk_frame_step(
+    carry: VisualChunkState, img: jax.Array, pts: jax.Array, m: jax.Array,
+    cam, cfg: VisualConfig,
+) -> tuple[VisualChunkState, se3.Pose]:
+    """One visual frame inside a fused chunk program: dequantize → CLAHE →
+    pyramid → LK fwd/rev → depth assoc + pose GN → replenish. Shared by
+    ``visual_chunk`` and the coupled cam-lidar chunk
+    (cam_lidar_pipeline.camlidar_coupled_chunk). Returns (carry,
+    T_cur_prev) — the relative pose feeds the lidar warm start in the
+    coupled mode (the reference's dormant tighter coupling,
+    CamLidarProcess.cpp:278-307 ``#if 0``)."""
+    if img.dtype == jnp.uint8:
+        # images upload as uint8 (¼ the tunnel bytes; cameras are 8-bit
+        # anyway) and dequantize on device
+        img = img.astype(jnp.float32) * (1.0 / 255.0)
+    if pts.dtype == jnp.uint16:
+        # depth clouds upload like scans: uint16 @ 3.9 mm
+        from .lidar_odometry import QUANT_OFFSET, QUANT_SCALE
+
+        pts = pts.astype(jnp.float32) * QUANT_SCALE + QUANT_OFFSET
+    if cfg.use_clahe:
+        img = image.clahe(
+            img, grid=cfg.clahe_grid, clip_limit=cfg.clahe_clip
+        )
+    pyr = tuple(image.build_pyramid(img, cfg.lk_levels))
+    dc = build_depth_cloud(pts, m)
+    uv1, ok = lk.track_pyramid_reverse_checked(
+        carry.prev_pyr, pyr, carry.table.uv, carry.table.active,
+        win=cfg.lk_window, iters=cfg.lk_iters, levels=cfg.lk_levels,
+        max_reverse_err=cfg.reverse_check_px,
+        reverse_levels=cfg.lk_reverse_levels or None,
+        iters_coarse=cfg.lk_iters_coarse or None,
+    )
+    table, rel, pose_w = solve_and_update(
+        uv1, ok, carry.prev_dc, carry.table, carry.pose_w,
+        carry.warm_rel, cam, cfg,
+    )
+    table = _replenish(table, pyr[0], cam, pose_w, cfg)
+    return VisualChunkState(table, pose_w, rel, pyr, dc), rel
 
 
 def init_chunk_state(

@@ -31,6 +31,14 @@ def main() -> None:
     ap.add_argument("--sweep-outer", action="store_true",
                     help="also sweep mapping outer_iters on the rotation "
                          "regime (justifies the 2-vs-10 schedule)")
+    ap.add_argument("--visual", action="store_true",
+                    help="add visual-odometry rows (plain + tightly-coupled "
+                         "cam-lidar) on the rotation/revisit regimes — "
+                         "renders camera images (cached)")
+    ap.add_argument("--imu", action="store_true",
+                    help="add the bumpy-trajectory IMU-fusion regime "
+                         "(synthetic IMU from GT poses; ImuFusedOdometry "
+                         "vs plain odometry)")
     args = ap.parse_args()
 
     import jax
@@ -107,6 +115,122 @@ def main() -> None:
             row["r_rel_deg_per_100m"] = round(float(r_rel), 4)
         except Exception as e:  # pragma: no cover - t_rel needs path length
             row["t_rel_err"] = str(e)[:60]
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.visual:
+        # visual rows (VERDICT r2 weak #2: "nothing gates ate_visual"):
+        # plain (side-by-side, the reference's shipped topology) and the
+        # tightly-coupled mode (visual rel pose warm-starts the lidar GN,
+        # CamLidarProcess.cpp:278-307 #if 0) on the two turn-heavy regimes
+        from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+            CamLidarPipeline,
+        )
+        from lidar_visual_odometry_tpu.utils.config import (
+            CameraConfig, ExtrinsicConfig, SystemConfig as SC, VisualConfig,
+        )
+
+        CAM = dict(fx=120.0, fy=120.0, cx=160.0, cy=48.0,
+                   width=320, height=96)
+        R_sc = np.array(
+            [[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]]
+        )
+        ext = tuple(tuple(float(v) for v in row) + (0.0,) for row in R_sc.T)
+        vcfg = SC(
+            camera=CameraConfig(**CAM),
+            visual=VisualConfig(
+                lk_levels=3, lk_window=15, grid_rows=3, grid_cols=8,
+                max_tracked=256, depth_cloud_cap=16384,
+            ),
+            extrinsic=ExtrinsicConfig(matrix=ext),
+        )
+        here = os.path.dirname(os.path.abspath(__file__))
+        for name in ("rotation_heavy", "revisit_out_and_back"):
+            seq = regimes[name]
+            n = seq.n_frames
+            cache = os.path.join(here, "..", f".eval_imgs_{name}.npz")
+            if os.path.exists(cache):
+                data = np.load(cache)
+                images = [data[f"i{k}"] for k in range(n)]
+            else:
+                images = []
+                for k in range(n):
+                    Rc, tc = synthetic.camera_from_velodyne_pose(*seq.pose(k))
+                    img, _ = synthetic.render_image(
+                        seq.scene, Rc, tc, **CAM
+                    )
+                    images.append(img)
+                np.savez_compressed(
+                    cache, **{f"i{k}": im for k, im in enumerate(images)}
+                )
+            scans = [seq.scan(k) for k in range(n)]
+            R0, t0 = seq.pose(0)
+            gt = np.stack([R0.T @ (seq.pose(k)[1] - t0) for k in range(n)])
+
+            plain = CamLidarPipeline(vcfg).run_chunked(
+                scans, images, chunk=8, ingest="polar"
+            )
+            coupled = CamLidarPipeline(vcfg).run_chunked(
+                scans, images, chunk=8, ingest="polar", coupled=True
+            )
+            row = {
+                "regime": name + "_visual",
+                "frames": n,
+                "ate_visual_m": round(metrics.ate_rmse(
+                    plain.visual_positions, gt, align=False), 4),
+                "ate_lidar_plain_m": round(metrics.ate_rmse(
+                    plain.lidar_positions, gt, align=False), 4),
+                "ate_lidar_coupled_m": round(metrics.ate_rmse(
+                    coupled.lidar_positions, gt, align=False), 4),
+                "ate_visual_coupled_m": round(metrics.ate_rmse(
+                    coupled.visual_positions, gt, align=False), 4),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    if args.imu:
+        # bumpy trajectory (bounce + roll wobble): synthetic IMU from the
+        # analytic GT poses; ImuFusedOdometry must beat plain odometry
+        # (adjustPointCloud + BackEndSolver wiring, BackEndSolver.cpp:22-146)
+        from lidar_visual_odometry_tpu.data import sync
+        from lidar_visual_odometry_tpu.models.imu_fusion import (
+            ImuFusedOdometry,
+        )
+
+        seq = synthetic.SyntheticSequence(
+            n_frames=40, width=W, yaw_rate=0.01, noise=0.02,
+            bounce=0.08, roll_amp=0.04,
+        )
+        n = seq.n_frames
+        stamps, accel, gyro = synthetic.synthesize_imu(
+            seq, frame_period=0.1, rate_hz=100.0,
+            accel_noise=0.02, gyro_noise=0.002,
+        )
+        lidar_stamps = np.arange(n) * 0.1
+        idxs = sync.bundle_imu(lidar_stamps, stamps)
+        dts = np.full(stamps.shape, 0.01, np.float32)
+
+        fused_drv = ImuFusedOdometry(SystemConfig(), window=8)
+        fused_pos, odom_pos = [], []
+        for k in range(n):
+            scan = seq.scan(k)
+            fp = fused_drv.process(
+                scan, accel[idxs[k]], gyro[idxs[k]], dts[idxs[k]]
+            )
+            fused_pos.append(np.asarray(fp.t))
+            odom_pos.append(np.asarray(fused_drv.odom.state.pose_w.t))
+        R0, t0 = seq.pose(0)
+        gt = np.stack([R0.T @ (seq.pose(k)[1] - t0) for k in range(n)])
+        row = {
+            "regime": "bumpy_imu",
+            "frames": n,
+            "ate_odom_m": round(
+                metrics.ate_rmse(np.stack(odom_pos), gt, align=False), 4
+            ),
+            "ate_imu_fused_m": round(
+                metrics.ate_rmse(np.stack(fused_pos), gt, align=False), 4
+            ),
+        }
         rows.append(row)
         print(json.dumps(row), flush=True)
 

@@ -37,8 +37,9 @@ def main() -> None:
                     "(≡ kittiHelper.cpp:91-93,153-162 publishing /image_left "
                     "into CamLidarProcess)")
     ap.add_argument("--chunk", type=int, default=8)
-    ap.add_argument("--map-skip", type=int, default=2,
-                    help="mapping cadence (≡ mapping_skip_frame)")
+    ap.add_argument("--map-skip", type=int, default=1,
+                    help="mapping cadence (≡ mapping_skip_frame; the "
+                    "windowed 5-NN makes every-frame mapping affordable)")
     ap.add_argument("--ingest", choices=("float", "uint16", "polar"),
                     default="polar",
                     help="scan upload encoding (polar = 4 B/cell packed "

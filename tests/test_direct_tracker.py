@@ -170,3 +170,51 @@ class TestKeyframeDB:
         np.testing.assert_allclose(
             uv[-m.shape[0]:][m], np.asarray(uv_self)[m], atol=1e-3
         )
+
+
+class TestDirectChunk:
+    def test_chunk_matches_host_loop(self, rng):
+        """The fused K-frame device program must reproduce the host
+        DirectVO.process loop (always-keyframe mode, window BA on) — the
+        chunk replaces per-frame float() syncs, not the algorithm."""
+        from lidar_visual_odometry_tpu.models import direct_vo as dv
+        from lidar_visual_odometry_tpu.models.lidar_odometry import (
+            QUANT_OFFSET, QUANT_SCALE,
+        )
+        from lidar_visual_odometry_tpu.utils.config import VisualConfig
+
+        scene = synthetic.BoxScene.corridor(0)
+        cam = make_cam()
+        cfg = VisualConfig(pyramid_levels=3, keyframe_window=3)
+
+        frames = []
+        for k in range(5):
+            img, depth, R, t = render_at(
+                scene, 0.004 * k, [0.35 * k, 0.0, 1.5]
+            )
+            pts, okm = depth_to_points(depth, rng, n=8192)
+            # quantize exactly like the chunk upload so both paths see the
+            # same inputs
+            q = (np.clip((pts - QUANT_OFFSET) / QUANT_SCALE, 0, 65535.0)
+                 + 0.5).astype(np.uint16)
+            deq = q.astype(np.float32) * QUANT_SCALE + QUANT_OFFSET
+            im8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            frames.append((im8, deq, okm))
+
+        # host loop (on dequantized inputs, uint8 images)
+        vo = dv.DirectVO(cam, cfg, point_cap=512)
+        host_t = []
+        for im8, deq, okm in frames:
+            pose = vo.process(
+                jnp.asarray(im8.astype(np.float32) / 255.0),
+                jnp.asarray(deq), jnp.asarray(okm),
+            )
+            host_t.append(np.asarray(pose.t))
+
+        # fused chunk
+        vo2 = dv.DirectVOChunked(cam, cfg, point_cap=512)
+        ts, qs, _ = vo2.run_chunked(
+            [f[0] for f in frames], [f[1] for f in frames],
+            [f[2] for f in frames], chunk=2,
+        )
+        np.testing.assert_allclose(ts, np.stack(host_t), atol=2e-4)
