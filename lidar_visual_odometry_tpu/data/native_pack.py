@@ -60,13 +60,22 @@ def pack_polar_chunk(
     min_range: float,
     max_range: float,
     n_frames: int | None = None,
+    channels: int = 2,
 ) -> np.ndarray:
-    """Pack a list of raw (n_i, ≥3) float scans → (K, R, W, 2) uint16.
+    """Pack a list of raw (n_i, ≥3) float scans → (K, R, W, channels) uint16.
 
     K = n_frames (≥ len(scans); extra frames stay zero = empty, for ragged
     final chunks). Uses the native multi-threaded packer when buildable,
-    else the numpy reference implementation.
+    else the numpy reference implementation. channels=1 = range-only
+    (2 B/cell minimum-transfer mode): the native packer always emits both
+    channels; the offsets plane is sliced away before upload.
     """
+    if channels == 1:
+        full = pack_polar_chunk(
+            scans, n_scans=n_scans, width=width, min_range=min_range,
+            max_range=max_range, n_frames=n_frames, channels=2,
+        )
+        return np.ascontiguousarray(full[..., :1])
     K = n_frames if n_frames is not None else len(scans)
     assert K >= len(scans)
     out = np.zeros((K, n_scans, width, 2), np.uint16)

@@ -64,7 +64,13 @@ def preintegrate(
     def step(carry, x):
         dq, dv, dp = carry
         a, w, dt = x
-        a_world = se3.quat_rotate(dq, a)
+        # rotate the accel by the MID-interval attitude: start-of-interval
+        # (Euler) rotation biases dv by (ω·dt/2)×a per sample — at 150 °/s
+        # + 2.7 g turn dynamics that is 0.34 m/s² of systematic error, which
+        # walked the window solve meters off a ground-truth trajectory
+        # (≡ the reference's midpoint scheme, adjustPointCloud.cpp:205-276)
+        dq_half = se3.quat_mul(dq, se3.so3_exp(w * (0.5 * dt)))
+        a_world = se3.quat_rotate(dq_half, a)
         dp = dp + dv * dt + 0.5 * a_world * dt * dt
         dv = dv + a_world * dt
         dq = se3.quat_normalize(se3.quat_mul(dq, se3.so3_exp(w * dt)))
@@ -168,7 +174,12 @@ def solve_window(
         )
         return jnp.concatenate(rs)
 
-    def step(state, _):
+    def cost(state):
+        r = residuals(jnp.zeros(K * 9), state)
+        return jnp.sum(r * r)
+
+    def step(carry, _):
+        state, best, best_cost = carry
         dx0 = jnp.zeros(K * 9)
         r = residuals(dx0, state)
         J = jax.jacfwd(residuals)(dx0, state)
@@ -178,7 +189,19 @@ def solve_window(
         L = jnp.linalg.cholesky(H + jnp.diag(damp))
         dx = jax.scipy.linalg.cho_solve((L, True), -gvec)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
-        return _retract(state, dx.reshape(K, 9)), None
+        new = _retract(state, dx.reshape(K, 9))
+        # best-χ² tracking (≡ LSQNonlinear.hpp:42-48 revert-on-increase;
+        # without it a bad linearization on a sharp-turn window can walk the
+        # solve tens of meters away and the last iterate is returned anyway)
+        c = cost(new)
+        better = c < best_cost
+        best = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), new, best
+        )
+        best_cost = jnp.where(better, c, best_cost)
+        return (new, best, best_cost), None
 
-    state, _ = jax.lax.scan(step, state0, None, length=n_iters)
-    return state
+    (state, best, best_cost), _ = jax.lax.scan(
+        step, (state0, state0, cost(state0)), None, length=n_iters
+    )
+    return best

@@ -52,6 +52,7 @@ class ImuFusedOdometry:
         odom_weight: float = 20.0,
         derotate: bool = False,
         n_iters: int = 6,
+        imu_warmstart: bool = True,
     ):
         self.cfg = cfg
         self.capacity = capacity
@@ -61,6 +62,7 @@ class ImuFusedOdometry:
         self.odom_weight = odom_weight
         self.derotate = derotate
         self.n_iters = n_iters
+        self.imu_warmstart = imu_warmstart
 
         self.odom = lo.LidarOdometry(cfg.odometry)
         self._poses: list[se3.Pose] = []          # raw odometry world poses
@@ -96,7 +98,22 @@ class ImuFusedOdometry:
         reg = sr.register_scan(
             jnp.asarray(xyz), jnp.asarray(mask), self.cfg.lidar
         )
-        pose_w, _ = self.odom.process(reg.features)
+        # IMU warm start: the gyro-preintegrated rotation over this frame
+        # interval replaces the constant-velocity rotation prior — a sharp
+        # turn onset is then inside the scan-to-scan solver's basin on the
+        # first re-association round (the lidar-only prior is stale by the
+        # full turn rate there). Translation keeps the velocity prior
+        # (accelerometer double-integration is too noisy per 0.1 s).
+        init_rel = None
+        if (
+            self.imu_warmstart and len(accel)
+            and self.odom.state is not None
+        ):
+            d = preintegrate(
+                jnp.asarray(accel), jnp.asarray(gyro), jnp.asarray(dts)
+            )
+            init_rel = se3.Pose(d.dq, self.odom.state.pose_rel.t)
+        pose_w, _ = self.odom.process(reg.features, init_rel=init_rel)
         return self.process_pose(pose_w, accel, gyro, dts)
 
     def process_pose(

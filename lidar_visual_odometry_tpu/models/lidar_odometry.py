@@ -74,6 +74,9 @@ def scan_to_scan_impl(
     lf_mask = prev_less_flat.mask.reshape(R, -1)
 
     def outer(pose, _):
+        return _outer_once(pose), None
+
+    def _outer_once(pose):
         # --- data association at the current pose estimate ---
         # coords-emitting association: correspondence points come back as
         # coordinates (gathered in-kernel on TPU), no index gathers here
@@ -116,7 +119,7 @@ def scan_to_scan_impl(
                 n_iters=cfg.gn_iters,
                 huber_delta=cfg.huber_delta,
             )
-            return se3.Pose(q, t), None
+            return se3.Pose(q, t)
 
         def inner(pose, _):
             re, Je = lf.edge_residuals(pose, edge)
@@ -130,7 +133,35 @@ def scan_to_scan_impl(
             return gn.gn_update_pose(pose, delta), None
 
         pose, _ = jax.lax.scan(inner, pose, None, length=cfg.gn_iters)
-        return pose, None
+        return pose
+
+    if cfg.outer_tol > 0.0:
+        # Adaptive re-association (lax.while_loop, ≤ outer_iters rounds,
+        # early exit when one round no longer moves the pose): the warm-
+        # started solver converges in 2-3 rounds on smooth motion, but a
+        # sharp turn ONSET (constant-velocity prior stale by >10°) needs the
+        # reference's full 10 rounds (laserOdometry.cpp:364) — measured on
+        # the out-and-back regime, 5 fixed rounds lock in a 9.6° yaw error
+        # at the first turn frame (mapped ATE 0.83 m) while 10 recover it
+        # (0.017 m). The adaptive loop pays for extra rounds only on the
+        # frames that need them.
+        def cond(carry):
+            pose, pq, pt, i = carry
+            dq = jnp.max(jnp.abs(pose.q - pq * jnp.sign(
+                jnp.sum(pose.q * pq))))
+            dt = jnp.max(jnp.abs(pose.t - pt))
+            moved = (2.0 * dq > cfg.outer_tol) | (dt > cfg.outer_tol)
+            return (i < cfg.outer_iters) & ((i < 2) | moved)
+
+        def body(carry):
+            pose, _, _, i = carry
+            return (_outer_once(pose), pose.q, pose.t, i + 1)
+
+        pose, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (init_rel, init_rel.q, init_rel.t, jnp.asarray(0, jnp.int32)),
+        )
+        return pose
 
     pose, _ = jax.lax.scan(outer, init_rel, None, length=cfg.outer_iters)
     return pose
@@ -279,8 +310,13 @@ class LidarOdometry:
         self.cfg = cfg
         self.state: OdometryState | None = None
 
-    def process(self, feats: ScanFeatures) -> tuple[se3.Pose, se3.Pose]:
-        """Feed one frame's features; returns (world pose, relative pose)."""
+    def process(
+        self, feats: ScanFeatures, init_rel: se3.Pose | None = None
+    ) -> tuple[se3.Pose, se3.Pose]:
+        """Feed one frame's features; returns (world pose, relative pose).
+
+        init_rel overrides the constant-velocity warm start (IMU-predicted
+        or visual relative pose — the coupling consumers)."""
         if self.state is None:
             ident = se3.identity_pose()
             self.state = OdometryState(
@@ -290,7 +326,8 @@ class LidarOdometry:
 
         st = self.state
         rel = scan_to_scan(
-            feats, st.prev_less_sharp, st.prev_less_flat, st.pose_rel, self.cfg
+            feats, st.prev_less_sharp, st.prev_less_flat,
+            st.pose_rel if init_rel is None else init_rel, self.cfg,
         )
         pose_w = integrate_world(st.pose_w, rel)
         self.state = OdometryState(pose_w, rel, feats.less_sharp, feats.less_flat)

@@ -116,13 +116,15 @@ class OdometryPipeline:
         chunks_q, chunks_t = [], []
         for s in range(1, len(scans), chunk):
             batch = scans[s:s + chunk]
-            if ingest == "polar":
+            if ingest.startswith("polar"):
                 from ..data.native_pack import pack_polar_chunk
 
+                # "polar2" = range-only 2 B/cell (offsets dropped; decode at
+                # cell centers — measured ATE cost on BASELINE.md)
                 imgs = pack_polar_chunk(
                     batch, n_scans=lcfg.n_scans, width=lcfg.azimuth_bins,
                     min_range=lcfg.min_range, max_range=lcfg.max_range,
-                    n_frames=chunk,
+                    n_frames=chunk, channels=1 if ingest == "polar2" else 2,
                 )
                 state, poses = lo.odometry_chunk_polar(
                     state, jnp.asarray(imgs), lcfg, self.cfg.odometry,
@@ -272,13 +274,13 @@ class FullPipeline:
         chunks = []
         for ci, s in enumerate(range(1, len(scans), chunk)):
             batch = scans[s:s + chunk]
-            if ingest == "polar":
+            if ingest.startswith("polar"):
                 from ..data.native_pack import pack_polar_chunk
 
                 imgs = pack_polar_chunk(
                     batch, n_scans=lcfg.n_scans, width=lcfg.azimuth_bins,
                     min_range=lcfg.min_range, max_range=lcfg.max_range,
-                    n_frames=chunk,
+                    n_frames=chunk, channels=1 if ingest == "polar2" else 2,
                 )
                 odo_state, map_state, op, mp = dm.slam_chunk_polar(
                     odo_state, map_state, jnp.asarray(imgs),

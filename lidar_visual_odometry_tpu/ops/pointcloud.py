@@ -454,12 +454,15 @@ def pack_polar_scan(
     width: int,
     min_range: float,
     max_range: float,
+    channels: int = 2,
 ):
-    """Host-side: raw (n, ≥3) float scan → (R, W, 2) uint16 polar image.
+    """Host-side: raw (n, ≥3) float scan → (R, W, channels) uint16 polar image.
 
     Channel 0 = quantized range (0 ⇒ empty cell); channel 1 = packed int8
     angular offsets ``(el_off << 8) | az_off`` (biased by 128) relative to the
     cell's ring elevation / azimuth-bin center. Nearest return wins a cell.
+    channels=1 drops the offsets (2 B/cell — the minimum-transfer mode;
+    decode reconstructs at cell centers, see ``polar_to_compact``).
     """
     xyz = np.asarray(pts)[:, :3].astype(np.float32)
     rng = np.sqrt(np.sum(xyz * xyz, axis=1))
@@ -493,14 +496,15 @@ def pack_polar_scan(
     qaz = np.clip(np.rint(d_az / az_q), -127, 127).astype(np.int32) + 128
     qr = np.clip(np.rint(rng / POLAR_RANGE_Q), 1, 65535).astype(np.uint16)
 
-    img = np.zeros((n_scans * width, 2), np.uint16)
+    img = np.zeros((n_scans * width, channels), np.uint16)
     img[flat[win], 0] = qr[win]
-    img[flat[win], 1] = ((qel[win] << 8) | qaz[win]).astype(np.uint16)
-    return img.reshape(n_scans, width, 2)
+    if channels >= 2:
+        img[flat[win], 1] = ((qel[win] << 8) | qaz[win]).astype(np.uint16)
+    return img.reshape(n_scans, width, channels)
 
 
 def polar_to_compact(
-    img: jax.Array,  # (R, W, 2) uint16 from pack_polar_scan
+    img: jax.Array,  # (R, W, 2|1) uint16 from pack_polar_scan
     *,
     n_scans: int,
     width: int,
@@ -510,21 +514,30 @@ def polar_to_compact(
     """Device-side decode: polar image → front-compacted scan.
 
     The grid is already in (ring, azimuth) scan order, so compaction is one
-    per-ring data-carrying row sort (no global sort, no gathers)."""
+    per-ring data-carrying row sort (no global sort, no gathers).
+
+    A single-channel image (range only, 2 B/cell — half the tunnel bytes)
+    decodes at the nominal ring elevation / azimuth-bin center: a ≤0.09°
+    angular quantization (≈9 cm tangential at 60 m, zero-mean)."""
     nominal, el_half = ring_elevations(n_scans)
     az_q = np.pi / width / 127.0
     el_q = el_half / 127.0
 
     rq = img[..., 0].astype(jnp.float32)
     r = rq * POLAR_RANGE_Q
-    packed = img[..., 1].astype(jnp.int32)
-    az_off = (packed & 0xFF).astype(jnp.float32) - 128.0
-    el_off = (packed >> 8).astype(jnp.float32) - 128.0
-
     colf = jnp.arange(width, dtype=jnp.float32)[None, :]
-    ori = (-jnp.pi + (colf + 0.5) * (2.0 * jnp.pi / width)
-           + az_off * az_q)
-    el = jnp.asarray(nominal)[:, None] + el_off * el_q
+    if img.shape[-1] >= 2:
+        packed = img[..., 1].astype(jnp.int32)
+        az_off = (packed & 0xFF).astype(jnp.float32) - 128.0
+        el_off = (packed >> 8).astype(jnp.float32) - 128.0
+        ori = (-jnp.pi + (colf + 0.5) * (2.0 * jnp.pi / width)
+               + az_off * az_q)
+        el = jnp.asarray(nominal)[:, None] + el_off * el_q
+    else:
+        ori = jnp.broadcast_to(
+            -jnp.pi + (colf + 0.5) * (2.0 * jnp.pi / width), rq.shape
+        )
+        el = jnp.broadcast_to(jnp.asarray(nominal)[:, None], rq.shape)
     d = r * jnp.cos(el)
     # ori = -atan2(y, x)  ⇒  x = d·cos(ori), y = -d·sin(ori)
     x = d * jnp.cos(ori)

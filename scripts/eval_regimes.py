@@ -197,39 +197,72 @@ def main() -> None:
             ImuFusedOdometry,
         )
 
-        seq = synthetic.SyntheticSequence(
+        from lidar_visual_odometry_tpu.utils.config import OdometryConfig
+
+        def run_imu(seq, drv):
+            n = seq.n_frames
+            stamps, accel, gyro = synthetic.synthesize_imu(
+                seq, frame_period=0.1, rate_hz=100.0,
+                accel_noise=0.02, gyro_noise=0.002,
+            )
+            idxs = sync.bundle_imu(np.arange(n) * 0.1, stamps)
+            dts = np.full(stamps.shape, 0.01, np.float32)
+            fused_pos, odom_pos = [], []
+            for k in range(n):
+                fp = drv.process(
+                    seq.scan(k), accel[idxs[k]], gyro[idxs[k]], dts[idxs[k]]
+                )
+                fused_pos.append(np.asarray(fp.t))
+                odom_pos.append(np.asarray(drv.odom.state.pose_w.t))
+            R0, t0 = seq.pose(0)
+            gt = np.stack(
+                [R0.T @ (seq.pose(k)[1] - t0) for k in range(n)]
+            )
+            return (
+                metrics.ate_rmse(np.stack(odom_pos), gt, align=False),
+                metrics.ate_rmse(np.stack(fused_pos), gt, align=False),
+            )
+
+        # 1. bumpy smooth drive: window fusion smooths odometry jitter
+        bumpy = synthetic.SyntheticSequence(
             n_frames=40, width=W, yaw_rate=0.01, noise=0.02,
             bounce=0.08, roll_amp=0.04,
         )
-        n = seq.n_frames
-        stamps, accel, gyro = synthetic.synthesize_imu(
-            seq, frame_period=0.1, rate_hz=100.0,
-            accel_noise=0.02, gyro_noise=0.002,
-        )
-        lidar_stamps = np.arange(n) * 0.1
-        idxs = sync.bundle_imu(lidar_stamps, stamps)
-        dts = np.full(stamps.shape, 0.01, np.float32)
-
-        fused_drv = ImuFusedOdometry(SystemConfig(), window=8)
-        fused_pos, odom_pos = [], []
-        for k in range(n):
-            scan = seq.scan(k)
-            fp = fused_drv.process(
-                scan, accel[idxs[k]], gyro[idxs[k]], dts[idxs[k]]
-            )
-            fused_pos.append(np.asarray(fp.t))
-            odom_pos.append(np.asarray(fused_drv.odom.state.pose_w.t))
-        R0, t0 = seq.pose(0)
-        gt = np.stack([R0.T @ (seq.pose(k)[1] - t0) for k in range(n)])
+        ate_o, ate_f = run_imu(bumpy, ImuFusedOdometry(SystemConfig(), window=8))
         row = {
-            "regime": "bumpy_imu",
-            "frames": n,
-            "ate_odom_m": round(
-                metrics.ate_rmse(np.stack(odom_pos), gt, align=False), 4
+            "regime": "bumpy_imu", "frames": bumpy.n_frames,
+            "ate_odom_m": round(ate_o, 4), "ate_imu_fused_m": round(ate_f, 4),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+        # 2. sharp constant-speed turn under a REAL-TIME iteration budget
+        # (fixed 5 re-association rounds): the gyro warm start puts the turn
+        # onset inside the scan-to-scan basin — the measurable IMU win the
+        # reference's dormant BackEndSolver was built for. (The turn must be
+        # velocity-continuous: the default out_and_back steps its speed
+        # 10→4 m/s at segment boundaries, which no physical IMU stream can
+        # reproduce — synthesize_imu would rightly disagree there.)
+        turn = synthetic.PiecewiseArcSequence(
+            width=W, noise=0.01,
+            segments=(
+                (16, 1.0, 0.0), (12, 1.0, np.pi / 12), (16, 1.0, 0.0)
             ),
-            "ate_imu_fused_m": round(
-                metrics.ate_rmse(np.stack(fused_pos), gt, align=False), 4
-            ),
+        )
+        budget = SystemConfig(
+            odometry=OdometryConfig(outer_iters=5, outer_tol=0.0)
+        )
+        ate_plain, _ = run_imu(
+            turn, ImuFusedOdometry(budget, window=8, imu_warmstart=False)
+        )
+        ate_warm, ate_wf = run_imu(
+            turn, ImuFusedOdometry(budget, window=8, imu_warmstart=True)
+        )
+        row = {
+            "regime": "const_speed_turn_imu_budget5", "frames": turn.n_frames,
+            "ate_odom_no_imu_m": round(ate_plain, 4),
+            "ate_odom_imu_warmstart_m": round(ate_warm, 4),
+            "ate_imu_fused_m": round(ate_wf, 4),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)

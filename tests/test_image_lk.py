@@ -94,6 +94,7 @@ class TestLK:
             np.clip(u0[:, 0].astype(int), 0, 319),
         ]
         finite = np.isfinite(z0)
+        z0 = np.where(finite, z0, 0.0)
         xn = (u0[:, 0] - CAM["cx"]) / CAM["fx"]
         yn = (u0[:, 1] - CAM["cy"]) / CAM["fy"]
         p_cam0 = np.stack([xn * z0, yn * z0, z0], -1)
