@@ -114,10 +114,13 @@ def main():
         return best, out
 
     # ---- 1. lidar odometry (headline) ----
-    OdometryPipeline(cfg).run_chunked(scans, chunk=8, ingest="polar")  # warm
+    # polar2 = range-only 2 B/cell ingest: the pipeline is transfer-BYTES
+    # bound (uploads overlap compute on the relay — measured), so halving
+    # scan bytes buys ~30% fps for a +5 mm ATE cost (BASELINE.md table)
+    OdometryPipeline(cfg).run_chunked(scans, chunk=8, ingest="polar2")  # warm
     odo_fps, result = best_fps(
         lambda: OdometryPipeline(cfg).run_chunked(
-            scans, chunk=8, ingest="polar"
+            scans, chunk=8, ingest="polar2"
         )
     )
     ate_odom = metrics.ate_rmse(result.positions, gt)
@@ -130,10 +133,10 @@ def main():
     # / ATE 0.0152 m vs 60.9 fps / 0.0222 m at skip=2: skip=1 is the better
     # operating point (round 2 needed skip=2 to stay real-time)
     FullPipeline(cfg).run_chunked(scans, chunk=8, map_skip=1,
-                                  ingest="polar")  # warm
+                                  ingest="polar2")  # warm
     slam_fps, (odo_r, map_r) = best_fps(
         lambda: FullPipeline(cfg).run_chunked(
-            scans, chunk=8, map_skip=1, ingest="polar"
+            scans, chunk=8, map_skip=1, ingest="polar2"
         )
     )
     ate_mapped = metrics.ate_rmse(map_r.positions, gt)
@@ -152,6 +155,37 @@ def main():
     )
     ate_visual = metrics.ate_rmse(cl_r.visual_positions, gt_rel, align=False)
 
+    # ---- 4. direct-photometric VO (fused K-frame chunk + window BA) ----
+    # the reference's dormant Tracker2/WindowOptimizer path (SURVEY §3.6),
+    # fused into one device program per chunk (direct_vo.direct_chunk)
+    from lidar_visual_odometry_tpu.models.direct_vo import DirectVOChunked
+    from lidar_visual_odometry_tpu.ops import camera as cam_ops
+
+    clp = CamLidarPipeline(cfg)
+    clouds, cmasks = [], []
+    for s in scans:
+        cf, cm = clp._cam_cloud(np.asarray(s)[:, :3])
+        clouds.append(cf)
+        cmasks.append(cm)
+    cam = cam_ops.Pinhole.from_config(cfg.camera)
+    dvo = DirectVOChunked(cam, cfg.visual, point_cap=2048)
+    dvo.run_chunked(images, clouds, cmasks, chunk=8)  # warm
+    best_direct = 0.0
+    for _ in range(REPEATS):
+        ts_d, qs_d, wall_d = dvo.run_chunked(images, clouds, cmasks, chunk=8)
+        best_direct = max(best_direct, (N_FRAMES - 1) / wall_d)
+    # direct VO estimates camera-frame poses; map to the sensor frame for ATE
+    from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+        _map_cam_poses_to_lidar,
+    )
+    import jax.numpy as jnp
+
+    _, vt = _map_cam_poses_to_lidar(
+        jnp.asarray(qs_d), jnp.asarray(ts_d),
+        clp.T_lidar_cam, clp.T_cam_lidar,
+    )
+    ate_direct = metrics.ate_rmse(np.asarray(vt), gt_rel, align=False)
+
     print(
         json.dumps(
             {
@@ -164,6 +198,8 @@ def main():
                 "ate_mapped_m": round(ate_mapped, 4),
                 "camlidar_frames_per_s": round(cl_fps, 2),
                 "ate_visual_m": round(ate_visual, 4),
+                "direct_vo_frames_per_s": round(best_direct, 2),
+                "ate_direct_m": round(ate_direct, 4),
                 "frames": N_FRAMES - 1,
                 "device": str(jax.devices()[0]),
             }

@@ -96,7 +96,17 @@ def camlidar_coupled_chunk(
             T_lidar_cam,
             se3.se3_compose(se3.se3_inverse(rel_cam), T_cam_lidar),
         )
-        ok = jnp.linalg.norm(prior.t) < max_prior_step
+        # plausibility gate: translation step bound, rotation bound (0.6 rad
+        # per 0.1 s frame ≈ 340°/s, beyond any ground vehicle) and
+        # finiteness — a degenerate visual solve must never poison the
+        # lidar warm start (degraded-mode fallback, Frontend.cpp:90-127)
+        ang = 2.0 * jnp.arccos(jnp.clip(jnp.abs(prior.q[0]), 0.0, 1.0))
+        ok = (
+            (jnp.linalg.norm(prior.t) < max_prior_step)
+            & (ang < 0.6)
+            & jnp.all(jnp.isfinite(prior.t))
+            & jnp.all(jnp.isfinite(prior.q))
+        )
         init = se3.Pose(
             jnp.where(ok, prior.q, odo.pose_rel.q),
             jnp.where(ok, prior.t, odo.pose_rel.t),

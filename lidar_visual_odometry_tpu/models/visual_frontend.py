@@ -291,15 +291,20 @@ def solve_pose(
             jnp.maximum(n_depth, 1)
         )
 
+        # HIGHEST: the default bf16 MXU passes corrupt this 6×6 Hessian on
+        # TPU — measured a finite-but-garbage step that walked the rotation
+        # regime's visual trajectory to 1e11 m (CPU, which computes f32
+        # exactly, was unaffected). Same rule as ops/gn.accumulate.
+        hp = dict(precision=jax.lax.Precision.HIGHEST)
         H = (
-            jnp.einsum("n,ni,nj->ij", we * we, Je, Je)
-            + jnp.einsum("n,ni,nj->ij", wd * wd, J3, J3)
-            + jnp.einsum("n,ni,nj->ij", wd * wd, J4, J4)
+            jnp.einsum("n,ni,nj->ij", we * we, Je, Je, **hp)
+            + jnp.einsum("n,ni,nj->ij", wd * wd, J3, J3, **hp)
+            + jnp.einsum("n,ni,nj->ij", wd * wd, J4, J4, **hp)
         )
         g = (
-            jnp.einsum("n,ni->i", we * we * re, Je)
-            + jnp.einsum("n,ni->i", wd * wd * y3, J3)
-            + jnp.einsum("n,ni->i", wd * wd * y4, J4)
+            jnp.einsum("n,ni->i", we * we * re, Je, **hp)
+            + jnp.einsum("n,ni->i", wd * wd * y3, J3, **hp)
+            + jnp.einsum("n,ni->i", wd * wd * y4, J4, **hp)
         )
         delta = gn.solve_damped(H, g, lm_lambda=1e-5)
         # decoupled update (Frontend.cpp:436-441): t += δt, q ← δq·q
