@@ -55,6 +55,60 @@ def _map_cam_poses_to_lidar(cam_q, cam_t, T_lidar_cam, T_cam_lidar):
     return p.q, p.t
 
 
+@partial(jax.jit, static_argnames=("lidar_cfg", "cap", "z_min"))
+def cam_clouds_from_polar(
+    pimgs: jax.Array,        # (K, R, W, C) uint16 packed polar scans
+    R_cl: jax.Array,         # (3, 3) camera←lidar rotation
+    t_cl: jax.Array,         # (3,)
+    lidar_cfg,
+    cap: int,
+    z_min: float = 0.3,
+) -> tuple[jax.Array, jax.Array]:
+    """Camera-frame depth clouds derived ON DEVICE from the already-uploaded
+    polar scans — replaces the separate host ``_cam_cloud`` upload
+    (cap×3 uint16 + mask ≈ 114 KB/frame over the tunnel; the pipeline is
+    transfer-bytes-bound).
+
+    Selection parity with the host path: keep points in front of the camera
+    (z > z_min), then an even stride down to ``cap``. The stride is computed
+    on device from the valid count; compaction is one data-carrying sort
+    keyed by the strided rank (argsort+gather is the known-slow pattern —
+    CLAUDE.md layout rules). Returns ((K, cap, 3) f32, (K, cap) bool).
+    ≡ CamLidarProcess.cpp:250-266 (pcl::transformPointCloud by the
+    extrinsic) fused with the depth-cloud build of Frame.cpp.
+    """
+
+    def one(img):
+        cs = pc.polar_to_compact(
+            img, n_scans=lidar_cfg.n_scans, width=lidar_cfg.azimuth_bins,
+            min_range=lidar_cfg.min_range, max_range=lidar_cfg.max_range,
+        )
+        pts = cs.xyz.reshape(-1, 3)
+        valid = cs.valid.reshape(-1)
+        # geometry matmul: HIGHEST, not the bf16 default (meters at range)
+        cam_pts = (
+            jnp.matmul(pts, R_cl.T, precision=jax.lax.Precision.HIGHEST)
+            + t_cl
+        )
+        valid = valid & (cam_pts[:, 2] > z_min)
+        rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        cnt = jnp.maximum(rank[-1] + 1, 1)
+        stride = (cnt + cap - 1) // cap
+        sel = valid & (rank % stride == 0)
+        n_sel = (cnt + stride - 1) // stride
+        big = jnp.int32(pts.shape[0] + 1)
+        key = jnp.where(sel, rank // stride, big)
+        _, xs, ys, zs = jax.lax.sort(
+            (key, cam_pts[:, 0], cam_pts[:, 1], cam_pts[:, 2]),
+            num_keys=1, is_stable=True, dimension=0,
+        )
+        out = jnp.stack([xs[:cap], ys[:cap], zs[:cap]], axis=-1)
+        mask = jnp.arange(cap, dtype=jnp.int32) < n_sel
+        return out, mask
+
+    return jax.vmap(one)(pimgs)
+
+
 @partial(jax.jit, static_argnames=("lidar_cfg", "odom_cfg", "vis_cfg",
                                    "max_prior_step"))
 def camlidar_coupled_chunk(
@@ -239,7 +293,8 @@ class CamLidarPipeline:
         n = len(scans)
         assert len(images) == n
         if coupled:
-            assert ingest == "polar", "coupled mode uses the polar ingest"
+            assert ingest.startswith("polar"), \
+                "coupled mode uses a polar ingest"
 
         # frame 0 bootstraps both carried states
         raw0 = np.asarray(scans[0])[:, :3]
@@ -264,37 +319,46 @@ class CamLidarPipeline:
         lq, lt, vq, vt = [], [], [], []
         for s in range(1, n, chunk):
             batch = list(range(s, min(s + chunk, n)))
+            polar = ingest.startswith("polar")
             # uint8 image upload (¼ bytes over the tunnel; dequantized on
-            # device in visual_chunk — cameras are 8-bit sources anyway);
-            # depth clouds upload uint16 @ 3.9 mm like the scans
+            # device in visual_chunk — cameras are 8-bit sources anyway).
+            # Polar ingests derive the camera depth cloud ON DEVICE from the
+            # scan upload (cam_clouds_from_polar) — the separate uint16
+            # cloud upload was 114 KB/frame of the transfer-bound budget
             imgs = np.zeros((chunk, *np.asarray(images[0]).shape), np.uint8)
-            cxyz = np.zeros((chunk, cam_capacity, 3), np.uint16)
-            cmask = np.zeros((chunk, cam_capacity), bool)
-            if ingest != "polar":
+            if not polar:
+                cxyz = np.zeros((chunk, cam_capacity, 3), np.uint16)
+                cmask = np.zeros((chunk, cam_capacity), bool)
                 qs = np.zeros((chunk, self.capacity, 3), np.uint16)
                 counts = np.zeros((chunk,), np.int32)
             for i, k in enumerate(batch):
                 raw = np.asarray(scans[k])[:, :3]
-                if ingest != "polar":
+                if not polar:
                     qs[i], counts[i] = lo.quantize_scan(raw, self.capacity)
                 im = np.asarray(images[k])
                 imgs[i] = (
                     im if im.dtype == np.uint8
                     else np.clip(im * 255.0 + 0.5, 0, 255).astype(np.uint8)
                 )
-                cf, cmask[i] = self._cam_cloud(raw)
-                cxyz[i] = (np.clip(
-                    (cf - lo.QUANT_OFFSET) / lo.QUANT_SCALE, 0.0, 65535.0
-                ) + 0.5).astype(np.uint16)
-            dimgs, dcx, dcm = map(jnp.asarray, (imgs, cxyz, cmask))
-            if ingest == "polar":
+                if not polar:
+                    cf, cmask[i] = self._cam_cloud(raw)
+                    cxyz[i] = (np.clip(
+                        (cf - lo.QUANT_OFFSET) / lo.QUANT_SCALE, 0.0, 65535.0
+                    ) + 0.5).astype(np.uint16)
+            dimgs = jnp.asarray(imgs)
+            if polar:
                 from ..data.native_pack import pack_polar_chunk
 
-                pimgs = pack_polar_chunk(
+                pimgs = jnp.asarray(pack_polar_chunk(
                     [np.asarray(scans[k])[:, :3] for k in batch],
                     n_scans=lcfg.n_scans, width=lcfg.azimuth_bins,
                     min_range=lcfg.min_range, max_range=lcfg.max_range,
                     n_frames=chunk,
+                    channels=1 if ingest == "polar2" else 2,
+                ))
+                dcx, dcm = cam_clouds_from_polar(
+                    pimgs, jnp.asarray(self.R_cl), jnp.asarray(self.t_cl),
+                    lcfg, cam_capacity,
                 )
                 if coupled:
                     odo_state, vis_state, poses_l, poses_c = (
@@ -310,6 +374,7 @@ class CamLidarPipeline:
                         odo_state, jnp.asarray(pimgs), lcfg, self.cfg.odometry
                     )
             else:
+                dcx, dcm = jnp.asarray(cxyz), jnp.asarray(cmask)
                 odo_state, poses_l = lo.odometry_chunk_quantized(
                     odo_state, jnp.asarray(qs), jnp.asarray(counts),
                     lcfg, self.cfg.odometry

@@ -45,28 +45,58 @@ def _level_cam(cam, level: int):
     )
 
 
-def _photometric_system(
+def _sample3(img: jax.Array, gx: jax.Array, gy: jax.Array, uv: jax.Array):
+    """Sample (image, x-grad, y-grad) at shared coords.
+
+    TPU: one gather-free one-hot MXU contraction for all three channels
+    (XLA gathers serialize on TPU — the round-2 direct-VO path spent most
+    of its 160 ms/frame in them); CPU: plain 4-tap gathers (fast there).
+    """
+    if jax.default_backend() == "tpu":
+        s = image.bilinear_mxu(jnp.stack([img, gx, gy]), uv)
+        return s[0], s[1], s[2]
+    return (
+        image.bilinear(img, uv),
+        image.bilinear(gx, uv),
+        image.bilinear(gy, uv),
+    )
+
+
+def _sample1(img: jax.Array, uv: jax.Array) -> jax.Array:
+    if jax.default_backend() == "tpu":
+        return image.bilinear_mxu(img[None], uv)[0]
+    return image.bilinear(img, uv)
+
+
+def _ref_samples(
+    ref_img: jax.Array, pts_ref: jax.Array, mask: jax.Array, cam_l
+):
+    """Pose-independent reference-side samples — hoisted out of the GN
+    iteration loop (they were recomputed every iteration in round 2)."""
+    uv_ref, front_ref = cam_ops.project(cam_l, pts_ref)
+    i_ref = _sample1(ref_img, uv_ref[:, None, :] + PATCH[None])   # (N, 4)
+    ok_ref = (
+        mask & front_ref & cam_ops.is_in_image(cam_l, uv_ref, boundary=2.0)
+    )
+    return i_ref, ok_ref
+
+
+def _photometric_system_pre(
     T: se3.Pose,
-    ref_img: jax.Array,
+    i_ref: jax.Array,          # (N, 4) hoisted reference samples
+    ok_ref: jax.Array,         # (N,) hoisted reference validity
     cur_img: jax.Array,
+    gx: jax.Array,
+    gy: jax.Array,
     pts_ref: jax.Array,
-    mask: jax.Array,
     cam_l,
     tdist_dof: float,
 ):
     """Residuals r (N, 4), Jacobians J (N, 4, 6), validity (N,) at one level."""
-    uv_ref, front_ref = cam_ops.project(cam_l, pts_ref)
-    patch_ref = uv_ref[:, None, :] + PATCH[None]               # (N, 4, 2)
-    i_ref = image.bilinear(ref_img, patch_ref)
-
     p_cur = se3.se3_apply(T, pts_ref)
     uv_cur, front_cur = cam_ops.project(cam_l, p_cur)
     patch_cur = uv_cur[:, None, :] + PATCH[None]
-    i_cur = image.bilinear(cur_img, patch_cur)
-
-    gx, gy = image.gradients(cur_img)
-    gxs = image.bilinear(gx, patch_cur)                        # (N, 4)
-    gys = image.bilinear(gy, patch_cur)
+    i_cur, gxs, gys = _sample3(cur_img, gx, gy, patch_cur)     # (N, 4) each
 
     z = p_cur[..., 2]
     safe_z = jnp.maximum(z, 1e-3)
@@ -95,9 +125,8 @@ def _photometric_system(
 
     r = i_cur - i_ref
     ok = (
-        mask
-        & front_ref & front_cur
-        & cam_ops.is_in_image(cam_l, uv_ref, boundary=2.0)
+        ok_ref
+        & front_cur
         & cam_ops.is_in_image(cam_l, uv_cur, boundary=2.0)
         & (z > 0.1)
     )
@@ -112,6 +141,23 @@ def _photometric_system(
     sigma = jnp.maximum(1.4826 * med, 1e-4)
     w = gn.tdist_weight(r, sigma, tdist_dof) * w_ok
     return r, J, w, ok
+
+
+def _photometric_system(
+    T: se3.Pose,
+    ref_img: jax.Array,
+    cur_img: jax.Array,
+    pts_ref: jax.Array,
+    mask: jax.Array,
+    cam_l,
+    tdist_dof: float,
+):
+    """One-shot convenience (sqrt factor / tests): hoists nothing."""
+    i_ref, ok_ref = _ref_samples(ref_img, pts_ref, mask, cam_l)
+    gx, gy = image.gradients(cur_img)
+    return _photometric_system_pre(
+        T, i_ref, ok_ref, cur_img, gx, gy, pts_ref, cam_l, tdist_dof
+    )
 
 
 @partial(jax.jit, static_argnames=("levels", "iters_per_level", "tdist_dof"))
@@ -131,10 +177,17 @@ def track(
         cam_l = _level_cam(cam, lvl)
         ref_img = ref_kf.pyramid[lvl]
         cur_img = cur_pyr[lvl]
+        # per-level invariants: reference samples + current-image gradients
+        # (pose-independent — computing them inside the GN body paid 1 extra
+        # sample pass + 2 gradient images per iteration)
+        i_ref, ok_ref = _ref_samples(
+            ref_img, ref_kf.points, ref_kf.point_mask, cam_l
+        )
+        gx, gy = image.gradients(cur_img)
 
         def body(T, _):
-            r, J, w, ok = _photometric_system(
-                T, ref_img, cur_img, ref_kf.points, ref_kf.point_mask,
+            r, J, w, ok = _photometric_system_pre(
+                T, i_ref, ok_ref, cur_img, gx, gy, ref_kf.points,
                 cam_l, tdist_dof,
             )
             H = jnp.einsum(

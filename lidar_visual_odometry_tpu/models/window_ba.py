@@ -31,15 +31,39 @@ import jax.numpy as jnp
 
 from ..ops import camera as cam_ops
 from ..ops import gn, image, se3
-from .tracker_direct import PATCH, _level_cam
+from .tracker_direct import PATCH, _level_cam, _sample1, _sample3
 
 GAUGE_PRIOR = 1e8
 
 
-def _pair_residuals(
+def _pair_ref_samples(
     pyr_imgs: jax.Array,      # (K, H, W) one level
     points: jax.Array,        # (K, P, 3)
     point_mask: jax.Array,    # (K, P)
+    h: jax.Array,
+    cam_l,
+):
+    """Host-side samples + validity for one pair — pose-INDEPENDENT (the
+    host keyframe's points are in its own camera frame), so computed once
+    per ``refine`` instead of once per pair per GN iteration (round 2 spent
+    ~25% of BA sampling re-reading them)."""
+    pts_h = points[h]
+    uv_h, front_h = cam_ops.project(cam_l, pts_h)
+    i_ref = _sample1(pyr_imgs[h], uv_h[:, None, :] + PATCH[None])
+    ok_h = (
+        point_mask[h]
+        & front_h
+        & cam_ops.is_in_image(cam_l, uv_h, boundary=2.0)
+    )
+    return i_ref, ok_h
+
+
+def _pair_residuals(
+    pyr_imgs: jax.Array,      # (K, H, W) one level
+    grads: tuple,             # (gx, gy) each (K, H, W) — hoisted
+    i_ref: jax.Array,         # (P, 4) hoisted host samples
+    ok_h: jax.Array,          # (P,) hoisted host validity
+    points: jax.Array,        # (K, P, 3)
     poses: se3.Pose,          # (K,)
     h: jax.Array,
     t: jax.Array,
@@ -47,7 +71,6 @@ def _pair_residuals(
 ):
     """Residuals + host-side Jacobian for one (host, target) pair."""
     pts_h = points[h]
-    mask = point_mask[h]
     pose_h = se3.Pose(poses.q[h], poses.t[h])
     pose_t = se3.Pose(poses.q[t], poses.t[t])
 
@@ -55,18 +78,12 @@ def _pair_residuals(
     T_tw = se3.se3_inverse(pose_t)
     p_t = se3.se3_apply(T_tw, p_w)
 
-    uv_h, front_h = cam_ops.project(cam_l, pts_h)
     uv_t, front_t = cam_ops.project(cam_l, p_t)
 
-    img_h = pyr_imgs[h]
-    img_t = pyr_imgs[t]
-    i_ref = image.bilinear(img_h, uv_h[:, None, :] + PATCH[None])
-    i_cur = image.bilinear(img_t, uv_t[:, None, :] + PATCH[None])
+    gx, gy = grads
+    patch_t = uv_t[:, None, :] + PATCH[None]
+    i_cur, gxs, gys = _sample3(pyr_imgs[t], gx[t], gy[t], patch_t)
     r = i_cur - i_ref                                          # (P, 4)
-
-    gx, gy = image.gradients(img_t)
-    gxs = image.bilinear(gx, uv_t[:, None, :] + PATCH[None])
-    gys = image.bilinear(gy, uv_t[:, None, :] + PATCH[None])
 
     z = jnp.maximum(p_t[..., 2], 1e-3)
     inv_z = 1.0 / z
@@ -93,9 +110,8 @@ def _pair_residuals(
     J = gxs[..., None] * du_dxi[:, None, :] + gys[..., None] * dv_dxi[:, None, :]
 
     ok = (
-        mask
-        & front_h & front_t
-        & cam_ops.is_in_image(cam_l, uv_h, boundary=2.0)
+        ok_h
+        & front_t
         & cam_ops.is_in_image(cam_l, uv_t, boundary=2.0)
         & (p_t[..., 2] > 0.1)
     )
@@ -123,12 +139,20 @@ def refine(
         ~jnp.eye(K, dtype=bool), size=K * (K - 1)
     )  # static pair list
 
+    # pose-independent hoists: target-image gradients (K images, not
+    # K·(K−1) pairs × iterations) and host-side samples (once, not per
+    # GN iteration)
+    grads = image.gradients(imgs)
+    i_ref_p, ok_h_p = jax.vmap(
+        lambda h: _pair_ref_samples(imgs, points, point_mask, h, cam_l)
+    )(hs)                                                      # (Pairs, P, 4)
+
     def system(poses):
         r, J, ok = jax.vmap(
-            lambda h, t: _pair_residuals(
-                imgs, points, point_mask, poses, h, t, cam_l
+            lambda h, t, i_ref, ok_h: _pair_residuals(
+                imgs, grads, i_ref, ok_h, points, poses, h, t, cam_l
             )
-        )(hs, ts)                                              # (Pairs, P, 4[,6])
+        )(hs, ts, i_ref_p, ok_h_p)                             # (Pairs, P, 4[,6])
         w_ok = ok[..., None].astype(r.dtype)
         # global MAD-normalized t-dist weights (WindowOptimizer.cpp:522-560)
         absr = jnp.abs(jnp.where(ok[..., None], r, jnp.nan))

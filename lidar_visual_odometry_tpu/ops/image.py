@@ -76,6 +76,66 @@ def bilinear(img: jax.Array, uv: jax.Array) -> jax.Array:
     )
 
 
+def _two_tap(idx0: jax.Array, idx1: jax.Array, w: jax.Array, n: int):
+    """(N, n) two-tap interpolation matrix: (1-w) at idx0, w at idx1.
+
+    idx1 may equal idx0 at the clamped border — the taps then sum to 1,
+    matching the gather-based ``bilinear`` exactly.
+    """
+    r = jnp.arange(n, dtype=jnp.int32)[None, :]
+    return (
+        (r == idx0[:, None]).astype(w.dtype) * (1.0 - w)[:, None]
+        + (r == idx1[:, None]).astype(w.dtype) * w[:, None]
+    )
+
+
+def bilinear_mxu(
+    imgs: jax.Array, uv: jax.Array,
+    *, precision=jax.lax.Precision.HIGH,
+) -> jax.Array:
+    """``bilinear`` for a STACK of images sharing sample coords, gather-free.
+
+    TPU gathers serialize (CLAUDE.md layout rules); this reformulates the
+    4-tap sample as a separable one-hot contraction that runs on the MXU:
+    ``out[c, s] = Σ_h Σ_w rowsel[s, h] · imgs[c, h, w] · colsel[s, w]``,
+    i.e. one (N, H)×(C·H, W) matmul + a (N, W) two-tap row reduction. The
+    hot callers (direct tracker / window BA) sample the image, its x- and
+    y-gradient at the SAME coords — stacking them as C=3 shares the big
+    matmul's one-hot operand. bf16x3 (``HIGH``) ≈ f32 for [0,1] intensities
+    (this feeds photometric residuals, not geometry — HIGHEST per the
+    geometry rule is not needed).
+
+    imgs: (C, H, W); uv: (..., 2). Returns (C, ...).
+    """
+    C, H, W = imgs.shape
+    shape = uv.shape[:-1]
+    x = jnp.clip(uv[..., 0].reshape(-1), 0.0, W - 1.001)
+    y = jnp.clip(uv[..., 1].reshape(-1), 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    rowsel = _two_tap(y0, y1, y - y0, H)            # (N, H)
+    colsel = _two_tap(x0, x1, x - x0, W)            # (N, W)
+    # contract the LONGER image axis in the MXU matmul so the per-sample
+    # intermediate is (N, C·min(H,W)) — the follow-up two-tap reduction is
+    # HBM-bound on that intermediate, and camera images are wide (W≈3H):
+    # W-first cuts its traffic ~3× (measured on the direct-VO BA trace)
+    if W >= H:
+        t = jnp.matmul(
+            colsel, imgs.transpose(2, 0, 1).reshape(W, C * H),
+            precision=precision,
+        ).reshape(-1, C, H)                         # (N, C, H)
+        out = jnp.einsum("nch,nh->cn", t, rowsel, precision=precision)
+    else:
+        t = jnp.matmul(
+            rowsel, imgs.transpose(1, 0, 2).reshape(H, C * W),
+            precision=precision,
+        ).reshape(-1, C, W)                         # (N, C, W)
+        out = jnp.einsum("ncw,nw->cn", t, colsel, precision=precision)
+    return out.reshape(C, *shape)
+
+
 def box_sum(img: jax.Array, k: int) -> jax.Array:
     """k×k window sum with zero padding ('same') — two cumsum differences.
 

@@ -53,12 +53,20 @@ def sharded_refine(
     hs, ts = jnp.nonzero(~jnp.eye(K, dtype=bool), size=K * (K - 1))
 
     def body(imgs, points, point_mask, poses):
+        # pose-independent hoists (mirrors window_ba.refine)
+        grads = window_ba.image.gradients(imgs)
+        i_ref_p, ok_h_p = jax.vmap(
+            lambda h: window_ba._pair_ref_samples(
+                imgs, points, point_mask, h, cam_l
+            )
+        )(hs)
+
         def system(poses):
             r, J, ok = jax.vmap(
-                lambda h, t: window_ba._pair_residuals(
-                    imgs, points, point_mask, poses, h, t, cam_l
+                lambda h, t, i_ref, ok_h: window_ba._pair_residuals(
+                    imgs, grads, i_ref, ok_h, points, poses, h, t, cam_l
                 )
-            )(hs, ts)
+            )(hs, ts, i_ref_p, ok_h_p)
             w_ok = ok[..., None].astype(r.dtype)
             # distributed robust scale: mean |r| over all shards (psum)
             abs_sum = jax.lax.psum(jnp.sum(jnp.abs(r) * w_ok), DATA_AXIS)

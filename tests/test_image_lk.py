@@ -31,6 +31,27 @@ class TestImageOps:
             float(d[0, 0]), float(img[:2, :2].mean()), rtol=1e-6
         )
 
+    def test_bilinear_mxu_matches_gather(self, rng):
+        """The one-hot MXU sampler == the 4-tap gather, including clamped
+        borders and out-of-bounds coords (CPU f32 = exact arithmetic)."""
+        imgs = jnp.asarray(rng.random((3, 24, 40)).astype(np.float32))
+        uv = jnp.asarray(
+            np.stack(
+                [
+                    rng.uniform(-3.0, 43.0, (257, 4)),   # x, past both edges
+                    rng.uniform(-3.0, 27.0, (257, 4)),   # y
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        out = image.bilinear_mxu(imgs, uv)
+        assert out.shape == (3, 257, 4)
+        for c in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out[c]), np.asarray(image.bilinear(imgs[c], uv)),
+                atol=1e-6,
+            )
+
     def test_bilinear_exact_on_grid(self, rng):
         img = jnp.asarray(rng.random((32, 32)).astype(np.float32))
         uv = jnp.asarray([[3.0, 5.0], [10.0, 20.0]])

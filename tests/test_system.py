@@ -1,6 +1,7 @@
 """System-level tests: stream sync, profiler, and the combined cam-lidar
 pipeline producing two consistent trajectories."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -310,8 +311,11 @@ class TestCamLidarChunked:
 
     def test_polar_ingest_matches_uint16(self):
         """ingest="polar" must track the uint16 scan ingest within the
-        ingest quantization floor (the visual path is byte-identical —
-        only the lidar upload encoding changes)."""
+        ingest quantization floor. The polar path derives the camera depth
+        cloud ON DEVICE from the scan upload (cam_clouds_from_polar) —
+        decode quantization + an even-stride re-selection, so the visual
+        trajectory agrees within the depth-association noise floor rather
+        than byte-exactly."""
         from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
             CamLidarPipeline,
         )
@@ -353,7 +357,52 @@ class TestCamLidarChunked:
         np.testing.assert_allclose(
             a.lidar_positions, b.lidar_positions, atol=2e-2
         )
-        np.testing.assert_array_equal(a.visual_positions, b.visual_positions)
+        np.testing.assert_allclose(
+            a.visual_positions, b.visual_positions, atol=5e-2
+        )
+
+    def test_device_cam_cloud_matches_host_selection(self):
+        """cam_clouds_from_polar == the host _cam_cloud contract: only
+        camera-frontal points (z > 0.3), an even stride down to cap, and
+        geometry within the polar decode quantization of the host cloud."""
+        from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+            CamLidarPipeline, cam_clouds_from_polar,
+        )
+        from lidar_visual_odometry_tpu.ops import pointcloud as pc
+        from lidar_visual_odometry_tpu.utils.config import (
+            ExtrinsicConfig, LidarConfig, SystemConfig, VisualConfig,
+        )
+
+        R_sc = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+        ext = tuple(tuple(float(v) for v in row) + (0.0,) for row in R_sc.T)
+        cap = 2048
+        cfg = SystemConfig(
+            lidar=LidarConfig(azimuth_bins=1024),
+            visual=VisualConfig(depth_cloud_cap=cap),
+            extrinsic=ExtrinsicConfig(matrix=ext),
+        )
+        seq = synthetic.SyntheticSequence(n_frames=1, width=900, noise=0.005)
+        raw = np.asarray(seq.scan(0))[:, :3]
+        lcfg = cfg.lidar
+        pimg = pc.pack_polar_scan(
+            raw, n_scans=lcfg.n_scans, width=lcfg.azimuth_bins,
+            min_range=lcfg.min_range, max_range=lcfg.max_range,
+        )
+        pipe = CamLidarPipeline(cfg)
+        pts, mask = cam_clouds_from_polar(
+            jnp.asarray(pimg)[None], jnp.asarray(pipe.R_cl),
+            jnp.asarray(pipe.t_cl), lcfg, cap,
+        )
+        pts, mask = np.asarray(pts[0]), np.asarray(mask[0])
+        assert mask.sum() > cap // 2          # near-full cap utilization
+        assert (pts[mask][:, 2] > 0.3).all()  # frontal-only
+        # selected points must lie near SOME host camera-frame point
+        # (decode reconstructs at sub-cell offsets; ≤ a few cm here)
+        host = raw @ pipe.R_cl.T + pipe.t_cl
+        host = host[host[:, 2] > 0.3]
+        sub = pts[mask][:: max(1, mask.sum() // 64)]
+        d = np.linalg.norm(sub[:, None, :] - host[None], axis=-1).min(1)
+        assert d.max() < 0.25, d.max()
 
 
 class TestCamLidarCoupled:
