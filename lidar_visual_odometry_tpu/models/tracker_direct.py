@@ -160,7 +160,8 @@ def _photometric_system(
     )
 
 
-@partial(jax.jit, static_argnames=("levels", "iters_per_level", "tdist_dof"))
+@partial(jax.jit, static_argnames=("levels", "iters_per_level", "tdist_dof",
+                                   "step_tol"))
 def track(
     ref_kf: Keyframe,
     cur_pyr: tuple,
@@ -170,8 +171,16 @@ def track(
     levels: int = 4,
     iters_per_level: int = 10,
     tdist_dof: float = 5.0,
+    step_tol: float = 1e-5,
 ) -> se3.Pose:
-    """Estimate T (cur ← ref keyframe) coarse-to-fine (Tracker2::tracking)."""
+    """Estimate T (cur ← ref keyframe) coarse-to-fine (Tracker2::tracking).
+
+    Each level's GN runs as an early-exit ``while_loop``: out when the
+    max-norm of the step drops below ``step_tol`` — the reference solver's
+    own convergence test (``LSQNonlinear.hpp:56-60`` ``norm_max(x_) <
+    eps_``) — or after ``iters_per_level`` iterations. Warm-started smooth
+    frames converge in 2-4 iterations; ``step_tol=0`` restores the
+    fixed-trip schedule."""
     T = T_init
     for lvl in range(levels - 1, -1, -1):
         cam_l = _level_cam(cam, lvl)
@@ -185,7 +194,7 @@ def track(
         )
         gx, gy = image.gradients(cur_img)
 
-        def body(T, _):
+        def gn_step(T):
             r, J, w, ok = _photometric_system_pre(
                 T, i_ref, ok_ref, cur_img, gx, gy, ref_kf.points,
                 cam_l, tdist_dof,
@@ -201,7 +210,24 @@ def track(
             delta = gn.solve_damped(H, g, lm_lambda=1e-4)
             # left-multiplicative update T ← exp(δ)·T (Tracker2.cpp:90)
             dT = se3.se3_exp(delta)
-            return se3.se3_compose(dT, T), None
+            return se3.se3_compose(dT, T), delta
 
-        T, _ = jax.lax.scan(body, T, None, length=iters_per_level)
+        if step_tol > 0.0:
+            def cond(carry):
+                _, i, dmax = carry
+                return (i < iters_per_level) & (dmax >= step_tol)
+
+            def body(carry):
+                T, i, _ = carry
+                T2, delta = gn_step(T)
+                return T2, i + 1, jnp.max(jnp.abs(delta))
+
+            T, _, _ = jax.lax.while_loop(
+                cond, body, (T, jnp.int32(0), jnp.float32(jnp.inf))
+            )
+        else:
+            T, _ = jax.lax.scan(
+                lambda T, _: (gn_step(T)[0], None), T, None,
+                length=iters_per_level,
+            )
     return T

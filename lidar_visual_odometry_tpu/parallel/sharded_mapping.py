@@ -101,6 +101,29 @@ def sharded_mapping_step(
             pose, _ = jax.lax.scan(inner, pose, None, length=cfg.gn_iters)
             return pose, None
 
+        if cfg.outer_tol > 0.0:
+            # adaptive re-association, identical to the single-device core
+            # (lidar_mapping.solve_map_pose) — the carry is replicated, so
+            # every device takes the same exit and stays in lockstep
+            def cond(carry):
+                pose, pq, pt, i = carry
+                dq = jnp.max(jnp.abs(pose.q - pq * jnp.sign(
+                    jnp.sum(pose.q * pq))))
+                dt = jnp.max(jnp.abs(pose.t - pt))
+                moved = (2.0 * dq > cfg.outer_tol) | (dt > cfg.outer_tol)
+                return (i < cfg.outer_iters) & ((i < 2) | moved)
+
+            def wbody(carry):
+                pose, _, _, i = carry
+                return (outer(pose, None)[0], pose.q, pose.t, i + 1)
+
+            pose, _, _, _ = jax.lax.while_loop(
+                cond, wbody,
+                (init_pose, init_pose.q, init_pose.t,
+                 jnp.asarray(0, jnp.int32)),
+            )
+            return pose
+
         pose, _ = jax.lax.scan(outer, init_pose, None, length=cfg.outer_iters)
         return pose
 

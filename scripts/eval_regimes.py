@@ -281,8 +281,10 @@ def main() -> None:
             [R0.T @ (seq.pose(k)[1] - t0) for k in range(seq.n_frames)]
         )
         for outer in (1, 2, 4, 10):
+            # outer_tol=0 pins FIXED rounds — the sweep justifies the
+            # adaptive default by showing where fixed schedules saturate
             cfg = SystemConfig(
-                mapping=MappingConfig(outer_iters=outer)
+                mapping=MappingConfig(outer_iters=outer, outer_tol=0.0)
             )
             _, mapped = FullPipeline(cfg).run_chunked(scans, chunk=8)
             row = {
