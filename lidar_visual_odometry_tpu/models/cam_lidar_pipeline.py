@@ -40,6 +40,31 @@ from ..utils.config import SystemConfig
 _cat = jax.jit(lambda xs: jnp.concatenate(xs))
 
 
+def _np_quat_from_matrix(R: np.ndarray) -> np.ndarray:
+    """(w, x, y, z) from a 3×3 rotation, host numpy (Shepperd's method —
+    same branch structure as ``se3.matrix_to_quat``, kept on host so
+    pipeline construction never round-trips the tunnel)."""
+    t = np.trace(R)
+    if t > 0.0:
+        s = np.sqrt(t + 1.0) * 2.0
+        q = np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                      (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2.0
+        q = np.array([(R[2, 1] - R[1, 2]) / s, 0.25 * s,
+                      (R[0, 1] + R[1, 0]) / s, (R[0, 2] + R[2, 0]) / s])
+    elif R[1, 1] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2.0
+        q = np.array([(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s,
+                      0.25 * s, (R[1, 2] + R[2, 1]) / s])
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2.0
+        q = np.array([(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+                      (R[1, 2] + R[2, 1]) / s, 0.25 * s])
+    q = q.astype(np.float32)
+    return q / np.linalg.norm(q)
+
+
 @jax.jit
 def _map_cam_poses_to_lidar(cam_q, cam_t, T_lidar_cam, T_cam_lidar):
     """T_w_lidar = T_lidar_cam ∘ T_w_cam ∘ T_cam_lidar, batched over (N,).
@@ -192,15 +217,22 @@ class CamLidarPipeline:
         self.odom = lo.LidarOdometry(cfg.odometry)
         self.cam = cam_ops.Pinhole.from_config(cfg.camera)
         self.vo = vf.VisualOdometry(self.cam, cfg.visual)
-        # T_cam_lidar extrinsic (Config camlidar 3×4 ≡ KITTI Tr)
+        # T_cam_lidar extrinsic (Config camlidar 3×4 ≡ KITTI Tr), built in
+        # numpy: each un-jitted device op here is a ~30 ms RPC round trip
+        # on the tunneled TPU, and __init__ runs once per timed bench repeat
         E = np.asarray(cfg.extrinsic.matrix, np.float32)
         self.R_cl = E[:, :3]
         self.t_cl = E[:, 3]
-        T = np.eye(4, dtype=np.float32)
-        T[:3, :3] = self.R_cl
-        T[:3, 3] = self.t_cl
-        self.T_cam_lidar = se3.se3_from_matrix(jnp.asarray(T))
-        self.T_lidar_cam = se3.se3_inverse(self.T_cam_lidar)
+        q_cl = _np_quat_from_matrix(self.R_cl)
+        self.T_cam_lidar = se3.Pose(
+            jnp.asarray(q_cl), jnp.asarray(self.t_cl)
+        )
+        # inverse: q⁻¹ = conj(q), t⁻¹ = −Rᵀ t
+        q_inv = q_cl * np.array([1.0, -1.0, -1.0, -1.0], np.float32)
+        self.T_lidar_cam = se3.Pose(
+            jnp.asarray(q_inv),
+            jnp.asarray(-(self.R_cl.T @ self.t_cl).astype(np.float32)),
+        )
 
     def _cloud_to_camera(self, pts: np.ndarray) -> np.ndarray:
         return pts @ self.R_cl.T + self.t_cl

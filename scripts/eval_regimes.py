@@ -72,10 +72,28 @@ def main() -> None:
         ),
     }
 
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def load_scans(name, seq):
+        """Raycasting 200 frames costs ~an hour of host time — cache the
+        rendered scans per (regime, frame-count, width), like bench.py."""
+        n = seq.n_frames
+        cache = os.path.join(
+            here, "..", f".eval_scans_{name}_{n}f_{args.width}w.npz"
+        )
+        if os.path.exists(cache):
+            data = np.load(cache)
+            return [data[f"s{k}"] for k in range(n)]
+        scans = [seq.scan(k) for k in range(n)]
+        np.savez_compressed(
+            cache, **{f"s{k}": s for k, s in enumerate(scans)}
+        )
+        return scans
+
     rows = []
     for name, seq in regimes.items():
         n = seq.n_frames
-        scans = [seq.scan(k) for k in range(n)]
+        scans = load_scans(name, seq)
         R0, t0 = seq.pose(0)
         gt = np.stack([R0.T @ (seq.pose(k)[1] - t0) for k in range(n)])
 
@@ -163,7 +181,7 @@ def main() -> None:
                 np.savez_compressed(
                     cache, **{f"i{k}": im for k, im in enumerate(images)}
                 )
-            scans = [seq.scan(k) for k in range(n)]
+            scans = load_scans(name, seq)
             R0, t0 = seq.pose(0)
             gt = np.stack([R0.T @ (seq.pose(k)[1] - t0) for k in range(n)])
 
@@ -275,7 +293,7 @@ def main() -> None:
         from lidar_visual_odometry_tpu.utils.config import MappingConfig
 
         seq = regimes["rotation_heavy"]
-        scans = [seq.scan(k) for k in range(seq.n_frames)]
+        scans = load_scans("rotation_heavy", seq)
         R0, t0 = seq.pose(0)
         gt = np.stack(
             [R0.T @ (seq.pose(k)[1] - t0) for k in range(seq.n_frames)]

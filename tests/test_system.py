@@ -361,6 +361,25 @@ class TestCamLidarChunked:
             a.visual_positions, b.visual_positions, atol=5e-2
         )
 
+    def test_np_quat_from_matrix_parity(self):
+        """Host-numpy extrinsic quaternion == se3.matrix_to_quat (pipeline
+        __init__ must not round-trip the tunnel for it)."""
+        from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+            _np_quat_from_matrix,
+        )
+        from lidar_visual_odometry_tpu.ops import se3
+
+        rng = np.random.default_rng(3)
+        for _ in range(25):
+            Q, _r = np.linalg.qr(rng.normal(size=(3, 3)))
+            if np.linalg.det(Q) < 0:
+                Q[:, 0] *= -1
+            qa = _np_quat_from_matrix(Q.astype(np.float32))
+            qb = np.asarray(se3.matrix_to_quat(jnp.asarray(Q, jnp.float32)))
+            if np.sum(qa * qb) < 0:
+                qb = -qb
+            np.testing.assert_allclose(qa, qb, atol=1e-5)
+
     def test_device_cam_cloud_matches_host_selection(self):
         """cam_clouds_from_polar == the host _cam_cloud contract: only
         camera-frontal points (z > 0.3), an even stride down to cap, and
