@@ -31,6 +31,20 @@ from ..ops import image, se3
 from ..utils.config import VisualConfig
 
 
+def _run_window_ba(pyrs, pts, masks, poses, cam, cfg: VisualConfig):
+    """Shared BA invocation for the host loop and the fused chunk — one
+    place for the cost knobs (ba_points stride, ba_level, ba_iters) so the
+    two paths stay bit-identical (tests/test_direct_tracker.py parity)."""
+    stride = max(1, pts.shape[1] // cfg.ba_points) if cfg.ba_points else 1
+    return window_ba.refine(
+        pyrs, pts[:, ::stride], masks[:, ::stride], poses, cam,
+        n_iters=cfg.ba_iters,
+        level=min(cfg.ba_level, cfg.pyramid_levels - 1),
+        tdist_dof=cfg.tdist_dof,
+        step_tol=cfg.ba_step_tol,
+    )
+
+
 class DirectVO:
     def __init__(
         self,
@@ -92,10 +106,8 @@ class DirectVO:
             self.ref_kf = cur_kf
             if self.run_window_ba and len(self.window) == self.window.size:
                 pyrs, pts, masks, poses = self.window.stacked()
-                refined = window_ba.refine(
-                    pyrs, pts, masks, poses, self.cam,
-                    n_iters=4, level=min(1, self.cfg.pyramid_levels - 1),
-                    tdist_dof=self.cfg.tdist_dof,
+                refined = _run_window_ba(
+                    pyrs, pts, masks, poses, self.cam, self.cfg
                 )
                 for i, kf in enumerate(self.window.frames):
                     self.window.frames[i] = kf._replace(
@@ -220,10 +232,8 @@ def _direct_step(
         count = jnp.minimum(st.count + 1, S)
         if run_ba:
             def do_ba(qt):
-                refined = window_ba.refine(
-                    pyrs, points, pmask2, se3.Pose(qt[0], qt[1]), cam,
-                    n_iters=4, level=min(1, cfg.pyramid_levels - 1),
-                    tdist_dof=cfg.tdist_dof,
+                refined = _run_window_ba(
+                    pyrs, points, pmask2, se3.Pose(qt[0], qt[1]), cam, cfg
                 )
                 return refined.q, refined.t
 

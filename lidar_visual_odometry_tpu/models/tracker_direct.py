@@ -135,7 +135,11 @@ def _photometric_system_pre(
     b = jnp.sum(r * w_ok) / jnp.maximum(jnp.sum(w_ok) * 4.0, 1.0)
     r = r - b
 
-    # Student-t weights on MAD-normalized residuals
+    # Student-t weights on MAD-normalized residuals. nanmedian lowers to a
+    # full sort on TPU, but at 8k elements that sort costs ~8 µs — a
+    # value-domain bisection loop was MEASURED 7× slower here (while-loop
+    # step overhead dominates small reductions; see gn.masked_median_bisect's
+    # removal in the round-3 log) — keep the sort.
     absr = jnp.abs(jnp.where(ok[:, None], r, jnp.nan))
     med = jnp.nanmedian(absr)
     sigma = jnp.maximum(1.4826 * med, 1e-4)

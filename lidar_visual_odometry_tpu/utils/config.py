@@ -182,6 +182,14 @@ class VisualConfig:
     max_tracked: int = 1024           # padded tracked-feature budget (28*6*5 = 840)
     depth_cloud_cap: int = 32768      # padded camera-frame lidar cloud
     keyframe_window: int = 5          # KeyframeWindow size (Frontend.cpp:54)
+    ba_iters: int = 4                 # window-BA GN round cap per keyframe
+    ba_level: int = 1                 # window-BA pyramid level (clamped to
+                                      # pyramid_levels-1); the 20-pair one-hot
+                                      # sampling matmul scales with level area
+    ba_points: int = 0                # 0 = every selected host point per BA
+                                      # pair; n>0 strides each host keyframe's
+                                      # point set down to ~n for BA only
+    ba_step_tol: float = 1e-5         # BA early-exit |δ|∞ (LSQNonlinear.hpp:56-60)
     patch_pattern: str = "quad"       # 4-px pattern {(1,-1),(1,1),(-1,-1),(-1,1)} (Tracker2.h:41-44)
     tdist_dof: float = 5.0            # t-distribution nu (WeightFunction.cpp:91-95)
     use_clahe: bool = False           # CLAHE prep (featureTracking.cpp:92-95);
