@@ -40,6 +40,27 @@ from ..utils.config import SystemConfig
 _cat = jax.jit(lambda xs: jnp.concatenate(xs))
 
 
+@partial(jax.jit, static_argnames=("polar_shape", "img_shape"))
+def _split_packed_upload(comb: jax.Array, polar_shape: tuple,
+                         img_shape: tuple):
+    """Split the per-chunk single-buffer upload back into (polar scans
+    uint16, images uint8) on device.
+
+    The tunneled TPU pays a fixed per-transfer cost on top of the byte
+    rate (BASELINE.md: ≈55 ms + 12.5 ms/MB), so the cam-lidar chunk packs
+    its two uploads (packed polar scans + uint8 images) into ONE uint16
+    buffer per chunk; images travel as byte pairs and are bitcast back
+    here (little-endian on both ends — tests/test_system.py round-trip).
+    """
+    K = comb.shape[0]
+    n_polar = int(np.prod(polar_shape))
+    pimgs = comb[:, :n_polar].reshape(K, *polar_shape)
+    img8 = jax.lax.bitcast_convert_type(
+        comb[:, n_polar:], jnp.uint8
+    ).reshape(K, *img_shape)
+    return pimgs, img8
+
+
 def _np_quat_from_matrix(R: np.ndarray) -> np.ndarray:
     """(w, x, y, z) from a 3×3 rotation, host numpy (Shepperd's method —
     same branch structure as ``se3.matrix_to_quat``, kept on host so
@@ -377,17 +398,34 @@ class CamLidarPipeline:
                     cxyz[i] = (np.clip(
                         (cf - lo.QUANT_OFFSET) / lo.QUANT_SCALE, 0.0, 65535.0
                     ) + 0.5).astype(np.uint16)
-            dimgs = jnp.asarray(imgs)
             if polar:
                 from ..data.native_pack import pack_polar_chunk
 
-                pimgs = jnp.asarray(pack_polar_chunk(
+                packed = pack_polar_chunk(
                     [np.asarray(scans[k])[:, :3] for k in batch],
                     n_scans=lcfg.n_scans, width=lcfg.azimuth_bins,
                     min_range=lcfg.min_range, max_range=lcfg.max_range,
                     n_frames=chunk,
                     channels=1 if ingest == "polar2" else 2,
-                ))
+                )
+                if getattr(self, "pack_upload", True):
+                    # ONE upload per chunk: scans + images share a uint16
+                    # buffer (fixed per-transfer cost dominates at these
+                    # sizes; see _split_packed_upload)
+                    comb = np.concatenate(
+                        [
+                            packed.reshape(chunk, -1),
+                            np.ascontiguousarray(imgs)
+                            .view(np.uint16).reshape(chunk, -1),
+                        ],
+                        axis=1,
+                    )
+                    pimgs, dimgs = _split_packed_upload(
+                        jnp.asarray(comb), packed.shape[1:], imgs.shape[1:]
+                    )
+                else:
+                    pimgs = jnp.asarray(packed)
+                    dimgs = jnp.asarray(imgs)
                 dcx, dcm = cam_clouds_from_polar(
                     pimgs, jnp.asarray(self.R_cl), jnp.asarray(self.t_cl),
                     lcfg, cam_capacity,
@@ -406,6 +444,7 @@ class CamLidarPipeline:
                         odo_state, jnp.asarray(pimgs), lcfg, self.cfg.odometry
                     )
             else:
+                dimgs = jnp.asarray(imgs)
                 dcx, dcm = jnp.asarray(cxyz), jnp.asarray(cmask)
                 odo_state, poses_l = lo.odometry_chunk_quantized(
                     odo_state, jnp.asarray(qs), jnp.asarray(counts),

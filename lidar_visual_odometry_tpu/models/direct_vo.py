@@ -333,8 +333,14 @@ class DirectVOChunked:
             )
             qs_chunks.append(poses.q)
             ts_chunks.append(poses.t)
-        qs = np.concatenate([np.asarray(x) for x in qs_chunks])[:n - 1]
-        ts = np.concatenate([np.asarray(x) for x in ts_chunks])[:n - 1]
+        # ONE concatenating device program + one D2H per array: fetching each
+        # chunk separately was 2 RPC round trips per chunk (~30 ms each over
+        # the tunnel) serialized at the end of the run — ~0.3 s of the
+        # 48-frame wall clock (same epilogue as cam_lidar_pipeline._cat)
+        from .cam_lidar_pipeline import _cat
+
+        qs = np.asarray(_cat(qs_chunks))[:n - 1]
+        ts = np.asarray(_cat(ts_chunks))[:n - 1]
         wall = time.time() - t0
 
         ident = np.array([[1.0, 0, 0, 0]], np.float32)

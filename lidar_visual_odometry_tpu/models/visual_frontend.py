@@ -48,6 +48,12 @@ class FeatureTable(NamedTuple):
     start_q: jax.Array   # (N, 4) Tw at first observation
     start_t: jax.Array   # (N, 3)
     age: jax.Array       # (N,) int32 frames tracked
+    flow: jax.Array      # (N, 2) px displacement over the last frame —
+                         # temporal LK warm start (flow is frame-coherent;
+                         # with the EPS termination the warm-started coarse
+                         # levels exit in 1-3 iterations). 0 for new slots =
+                         # the reference's cold start (featureTracking.cpp
+                         # passes nextPts=prevPts, i.e. zero initial flow)
 
 
 class DepthCloud(NamedTuple):
@@ -67,6 +73,7 @@ def empty_table(n: int) -> FeatureTable:
         start_q=jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (n, 1)),
         start_t=jnp.zeros((n, 3), jnp.float32),
         age=jnp.zeros((n,), jnp.int32),
+        flow=jnp.zeros((n, 2), jnp.float32),
     )
 
 
@@ -378,6 +385,7 @@ def _replenish(
             table.start_t, jnp.broadcast_to(pose_w.t, (cand_uv.shape[0], 3))
         ),
         age=scat(table.age, jnp.zeros_like(cand_uv[:, 0], jnp.int32)),
+        flow=scat(table.flow, jnp.zeros_like(cand_uv)),
     )
 
 
@@ -452,6 +460,8 @@ def solve_and_update(
         start_q=table.start_q,
         start_t=table.start_t,
         age=table.age + 1,
+        # next frame's LK warm start; inactive rows reset to the cold start
+        flow=jnp.where(active[:, None], uv1 - table.uv, 0.0),
     )
     return table, rel, new_pose_w
 
@@ -469,11 +479,12 @@ def visual_step(
     """One frame of visual odometry as three jitted programs
     (track → solve/update → replenish). Returns (table, T_cur_prev, Tw)."""
     uv1, ok = lk.track_pyramid_reverse_checked(
-        prev_pyr, cur_pyr, table.uv, table.active,
+        prev_pyr, cur_pyr, table.uv, table.active, table.flow,
         win=cfg.lk_window, iters=cfg.lk_iters, levels=cfg.lk_levels,
         max_reverse_err=cfg.reverse_check_px,
         reverse_levels=cfg.lk_reverse_levels or None,
         iters_coarse=cfg.lk_iters_coarse or None,
+        eps=cfg.lk_eps,
     )
     table, rel, new_pose_w = solve_and_update(
         uv1, ok, prev_dc, table, pose_w, warm_rel, cam, cfg
@@ -555,10 +566,12 @@ def chunk_frame_step(
     dc = build_depth_cloud(pts, m)
     uv1, ok = lk.track_pyramid_reverse_checked(
         carry.prev_pyr, pyr, carry.table.uv, carry.table.active,
+        carry.table.flow,
         win=cfg.lk_window, iters=cfg.lk_iters, levels=cfg.lk_levels,
         max_reverse_err=cfg.reverse_check_px,
         reverse_levels=cfg.lk_reverse_levels or None,
         iters_coarse=cfg.lk_iters_coarse or None,
+        eps=cfg.lk_eps,
     )
     table, rel, pose_w = solve_and_update(
         uv1, ok, carry.prev_dc, carry.table, carry.pose_w,

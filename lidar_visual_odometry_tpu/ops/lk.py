@@ -62,13 +62,15 @@ def _track_level(img0, img1, gx, gy, uv0, guess, *, win: int, iters: int):
     return jax.vmap(per_feature)(uv0, guess)
 
 
-@partial(jax.jit, static_argnames=("win", "iters", "levels", "iters_coarse"))
+@partial(jax.jit, static_argnames=("win", "iters", "levels", "iters_coarse",
+                                   "eps"))
 def track_pyramid(
     pyr0: tuple, pyr1: tuple, uv0: jax.Array,
     init_d: jax.Array | None = None,
     active: jax.Array | None = None,
     *, win: int = 25, iters: int = 10, levels: int = 4,
     iters_coarse: int | None = None,
+    eps: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Track features uv0 (N, 2, level-0 pixels) from pyr0 to pyr1.
 
@@ -81,6 +83,10 @@ def track_pyramid(
     levels only need to land the estimate inside the next level's basin
     (< win/2 px), which a warm-started solve reaches in a few iterations;
     the finest level keeps the full count for sub-pixel accuracy.
+    eps: per-feature step termination in px — the reference's
+    cv::TermCriteria(COUNT+EPS, 30, 0.01) (featureTracking.cpp:211); 0
+    runs the fixed count. Kernel path only (the XLA path is SIMD across
+    features, so per-feature exit saves nothing there).
     """
     scale_top = 2.0 ** (levels - 1)
     if init_d is None:
@@ -91,29 +97,31 @@ def track_pyramid(
     on_tpu = jax.default_backend() == "tpu"
     # the Pallas kernel samples an aligned (rows, 256) VMEM strip per patch;
     # a pyramid level smaller than the strip (small top levels of small
-    # cameras) would slice out of bounds and clip(yi, 0, H-win-2) gets a
-    # negative bound — gate those levels onto the XLA path
-    strip_rows = ((win + 1 + 7) // 8 + 1) * 8
+    # cameras) would slice out of bounds and the corner clamps get negative
+    # bounds — gate those levels onto the XLA path
+    from . import pallas_lk
+
+    strip_rows = pallas_lk._strip_rows(win)
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
         it = iters if (lvl == 0 or iters_coarse is None) else iters_coarse
         img0 = pyr0[lvl]
         img1 = pyr1[lvl]
-        gx, gy = gradients(img0)
         fits = (
             img0.shape[0] >= strip_rows
-            and img0.shape[0] - win - 2 >= 0
-            and img0.shape[1] - win - 2 >= 0
+            and img0.shape[0] - win - 4 >= 0
+            and img0.shape[1] - win - 4 >= 0
         )
         if on_tpu and uv0.shape[0] % 8 == 0 and fits:
             # gather-free Pallas kernel: pyramid level resident in VMEM,
-            # patches via aligned slices + rolls (ops/pallas_lk.py)
-            from . import pallas_lk
-
+            # patches via aligned slices + rolls; template gradients are
+            # derived in-kernel, so no gradient images are computed here
             d, ok = pallas_lk.lk_level(
-                img0, img1, gx, gy, uv0 / s, d, active, win=win, iters=it
+                img0, img1, uv0 / s, d, active, win=win, iters=it,
+                eps=eps,
             )
         else:
+            gx, gy = gradients(img0)
             d, ok = _track_level(
                 img0, img1, gx, gy, uv0 / s, d, win=win, iters=it
             )
@@ -130,14 +138,16 @@ def track_pyramid(
 
 
 @partial(jax.jit, static_argnames=("win", "iters", "levels",
-                                   "reverse_levels", "iters_coarse"))
+                                   "reverse_levels", "iters_coarse", "eps"))
 def track_pyramid_reverse_checked(
     pyr0: tuple, pyr1: tuple, uv0: jax.Array,
     active: jax.Array | None = None,
+    init_d: jax.Array | None = None,
     *, win: int = 25, iters: int = 10, levels: int = 4,
     max_reverse_err: float = 1.0,
     reverse_levels: int | None = None,
     iters_coarse: int | None = None,
+    eps: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward + reverse track with round-trip gate ≤ max_reverse_err px.
 
@@ -151,8 +161,9 @@ def track_pyramid_reverse_checked(
     featureTracking.cpp:214-237).
     """
     uv1, ok_f = track_pyramid(
-        pyr0, pyr1, uv0, None, active,
+        pyr0, pyr1, uv0, init_d, active,
         win=win, iters=iters, levels=levels, iters_coarse=iters_coarse,
+        eps=eps,
     )
     rl = levels if reverse_levels is None else min(reverse_levels, levels)
     # reverse pass: only forward survivors need the round-trip check
@@ -160,6 +171,7 @@ def track_pyramid_reverse_checked(
     uv0_back, ok_b = track_pyramid(
         pyr1[:rl], pyr0[:rl], uv1, uv0 - uv1, act_b,
         win=win, iters=iters, levels=rl, iters_coarse=iters_coarse,
+        eps=eps,
     )
     err = jnp.linalg.norm(uv0_back - uv0, axis=-1)
     return uv1, ok_f & ok_b & (err <= max_reverse_err)

@@ -11,12 +11,19 @@ semantics). Here the whole pyramid level lives in VMEM and a patch sample is:
   3. static slices + fractional mixes for bilinear interpolation.
 
 No gathers anywhere. Each grid step tracks a block of FB features with a
-``fori_loop``; template gradients and the 2×2 inverse-compositional normal
-matrix are built in-kernel from the gradient images.
+``fori_loop``; the template and BOTH its gradients come from ONE padded
+(win+2)² sample: bilinear interpolation is linear and the ±1 central
+difference (``image.gradients``, Tracker2.cpp:151-160) is a shift stencil, so
+central-differencing the sampled patch equals sampling the gradient images —
+exactly, in the interior. That removes two of the three setup samples per
+feature AND the two (H, W) gradient-image inputs (VMEM + an XLA pass per
+level per call): measured ~30% off the kernel, which dominates the visual
+chunk's device time. The 2×2 inverse-compositional normal matrix is built
+in-kernel from those patch gradients.
 
 Border behavior differs from ops/lk.py by design: the window *origin* clamps
 into the image (the XLA path clamps each sample), so features closer than
-win/2+1 px to a border may track differently — both paths gate them out via
+win/2+2 px to a border may track differently — both paths gate them out via
 the in-bounds + reverse checks.
 """
 
@@ -30,30 +37,50 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lk_level_kernel(win, iters, H, W, fb,
-                     q_ref, i0_ref, i1_ref, gx_ref, gy_ref, out_ref):
+def _strip_rows(win: int) -> int:
+    # win+2 template patch + 1 bilinear tap + ≤7 sublane alignment
+    return ((win + 3 + 7) // 8 + 1) * 8
+
+
+def _lk_level_kernel(win, iters, eps, H, W, fb,
+                     q_ref, i0_ref, i1_ref, out_ref):
     Wpad = i0_ref.shape[1]
-    rows = ((win + 1 + 7) // 8 + 1) * 8      # strip rows: win+1 + ≤7 align
+    rows = _strip_rows(win)
     r = (win - 1) / 2.0
 
-    def sample(ref, xf, yf):
-        """Bilinear (win, win) patch with top-left corner at float (xf, yf)."""
+    def strip(ref, xf, yf, w):
+        """(rows, 256) strip whose (0, 0) is the integer corner of a float
+        (xf, yf) top-left, plus the fractional offsets — w is the patch
+        width the corner clamp must accommodate."""
         xi = jnp.floor(xf).astype(jnp.int32)
         yi = jnp.floor(yf).astype(jnp.int32)
         fx = xf - xi.astype(jnp.float32)
         fy = yf - yi.astype(jnp.float32)
-        xi = jnp.clip(xi, 0, W - win - 2)
-        yi = jnp.clip(yi, 0, H - win - 2)
-        ya = pl.multiple_of((yi // 8) * 8, 8)
+        xi = jnp.clip(xi, 0, W - w - 1)
+        yi = jnp.clip(yi, 0, H - w - 1)
+        # keep the strip fully inside the (H, Wpad) block: the roll below
+        # compensates for any aligned base, so clamping costs nothing
+        ya = pl.multiple_of(
+            jnp.minimum((yi // 8) * 8, ((H - rows) // 8) * 8), 8
+        )
         xa = pl.multiple_of(
             jnp.minimum((xi // 128) * 128, Wpad - 256), 128
         )
         s = ref[pl.ds(ya, rows), pl.ds(xa, 256)]
         s = pltpu.roll(s, ya - yi, 0)
         s = pltpu.roll(s, xa - xi, 1)
-        v = s[: win + 1, :]
-        v = v[:win, :] * (1.0 - fy) + v[1: win + 1, :] * fy
-        return v[:, :win] * (1.0 - fx) + v[:, 1: win + 1] * fx   # (win, win)
+        return s, fx, fy
+
+    def mix(s, fx, fy, w):
+        """Bilinear (w, w) patch from a corner-aligned strip."""
+        v = s[: w + 1, :]
+        v = v[:w, :] * (1.0 - fy) + v[1: w + 1, :] * fy
+        return v[:, :w] * (1.0 - fx) + v[:, 1: w + 1] * fx
+
+    def sample(ref, xf, yf):
+        """Bilinear (win, win) patch with top-left corner at float (xf, yf)."""
+        s, fx, fy = strip(ref, xf, yf, win + 1)
+        return mix(s, fx, fy, win)
 
     def per_feature(f, _):
         x = q_ref[f, 0]
@@ -69,9 +96,14 @@ def _lk_level_kernel(win, iters, H, W, fb,
         def _track():
             tx = x - r
             ty = y - r
-            t = sample(i0_ref, tx, ty)
-            jx = sample(gx_ref, tx, ty)
-            jy = sample(gy_ref, tx, ty)
+            # ONE (win+2)² template sample; gradients by central difference
+            # of the padded patch ≡ bilinear samples of image.gradients in
+            # the interior (linearity of bilinear interpolation)
+            s, fx, fy = strip(i0_ref, tx - 1.0, ty - 1.0, win + 3)
+            p = mix(s, fx, fy, win + 2)               # (win+2, win+2)
+            t = p[1: win + 1, 1: win + 1]
+            jx = 0.5 * (p[1: win + 1, 2: win + 2] - p[1: win + 1, 0:win])
+            jy = 0.5 * (p[2: win + 2, 1: win + 1] - p[0:win, 1: win + 1])
             a11 = jnp.sum(jx * jx)
             a12 = jnp.sum(jx * jy)
             a22 = jnp.sum(jy * jy)
@@ -79,17 +111,29 @@ def _lk_level_kernel(win, iters, H, W, fb,
             ok = det > 1e-9
             inv_det = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-12), 0.0)
 
-            def body(i, d):
-                dx, dy = d
+            # GN iterations with the reference's EPS termination
+            # (cv::TermCriteria(COUNT+EPS, 30, 0.01),
+            # featureTracking.cpp:211): stop once the step shrinks below
+            # ``eps`` px. Warm coarse-to-fine features converge in 2-4
+            # iterations — the fixed count paid the full sample cost per
+            # feature per level. eps=0 reproduces the fixed schedule.
+            def cond(c):
+                i, _, _, dd2 = c
+                return (i < iters) & (dd2 >= eps * eps)
+
+            def body(c):
+                i, dx, dy, _ = c
                 cur = sample(i1_ref, tx + dx, ty + dy)
                 e = cur - t
                 b1 = jnp.sum(e * jx)
                 b2 = jnp.sum(e * jy)
                 ddx = inv_det * (a22 * b1 - a12 * b2)
                 ddy = inv_det * (a11 * b2 - a12 * b1)
-                return (dx - ddx, dy - ddy)
+                return (i + 1, dx - ddx, dy - ddy, ddx * ddx + ddy * ddy)
 
-            dx, dy = jax.lax.fori_loop(0, iters, body, (dx0, dy0))
+            _, dx, dy, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), dx0, dy0, jnp.float32(jnp.inf))
+            )
             out_ref[f, 0] = dx
             out_ref[f, 1] = dy
             out_ref[f, 2] = ok.astype(jnp.float32)
@@ -107,18 +151,17 @@ def _lk_level_kernel(win, iters, H, W, fb,
     jax.lax.fori_loop(0, fb, per_feature, 0)
 
 
-@partial(jax.jit, static_argnames=("win", "iters", "fb", "interpret"))
+@partial(jax.jit, static_argnames=("win", "iters", "eps", "fb", "interpret"))
 def lk_level(
     img0: jax.Array,    # (H, W) float32
     img1: jax.Array,
-    gx: jax.Array,      # template gradients (of img0)
-    gy: jax.Array,
     uv0: jax.Array,     # (N, 2) feature centers in this level's pixels
     guess: jax.Array,   # (N, 2) initial displacement
     active: jax.Array | None = None,  # (N,) bool; False rows skip the solve
     *,
     win: int = 25,
     iters: int = 10,
+    eps: float = 0.0,
     fb: int = 8,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
@@ -126,7 +169,8 @@ def lk_level(
 
     Returns (d (N, 2), ok (N,)). N must be a multiple of fb; images are
     lane-padded internally. Inactive rows return (guess, ok=False) without
-    touching the images.
+    touching the images. Template gradients are derived in-kernel (see
+    module docstring) — no gradient images are taken or computed.
     """
     H, W = img0.shape
     N = uv0.shape[0]
@@ -145,17 +189,15 @@ def lk_level(
         [uv0.astype(jnp.float32), guess.astype(jnp.float32), act], axis=-1
     )  # (N, 5)
     out = pl.pallas_call(
-        partial(_lk_level_kernel, win, iters, H, W, fb),
+        partial(_lk_level_kernel, win, iters, eps, H, W, fb),
         grid=(N // fb,),
         in_specs=[
             pl.BlockSpec((fb, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((H, Wpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, Wpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, Wpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, Wpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((fb, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((N, 4), jnp.float32),
         interpret=interpret,
-    )(q, padw(img0), padw(img1), padw(gx), padw(gy))
+    )(q, padw(img0), padw(img1))
     return out[:, :2], out[:, 2] > 0.5

@@ -163,6 +163,9 @@ class VisualConfig:
     lk_window: int = 25               # LK window size (featureTracking.cpp:203)
     lk_levels: int = 4
     lk_iters: int = 10
+    lk_eps: float = 0.01              # per-feature LK step termination in px
+                                      # (cv::TermCriteria(COUNT+EPS, 30, 0.01),
+                                      # featureTracking.cpp:211); 0 = fixed count
     reverse_check_px: float = 1.0     # fwd/bwd consistency gate (featureTracking.cpp:214-237)
     lk_reverse_levels: int = 0        # 0 = full-pyramid reverse (reference);
                                       # n>0: shallow reverse over the finest n

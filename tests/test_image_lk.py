@@ -162,7 +162,7 @@ class TestPallasLK:
             jnp.asarray(uv), zero, win=15, iters=10,
         )
         d_ker, ok_ker = pallas_lk.lk_level(
-            jnp.asarray(img0), jnp.asarray(img1), gx, gy,
+            jnp.asarray(img0), jnp.asarray(img1),
             jnp.asarray(uv), zero, win=15, iters=10, interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_ker))
@@ -192,12 +192,12 @@ class TestPallasLK:
         active = rng.random(N) < 0.5
 
         d_all, ok_all = pallas_lk.lk_level(
-            jnp.asarray(img0), jnp.asarray(img1), gx, gy,
+            jnp.asarray(img0), jnp.asarray(img1),
             jnp.asarray(uv), jnp.asarray(guess), win=15, iters=6,
             interpret=True,
         )
         d_m, ok_m = pallas_lk.lk_level(
-            jnp.asarray(img0), jnp.asarray(img1), gx, gy,
+            jnp.asarray(img0), jnp.asarray(img1),
             jnp.asarray(uv), jnp.asarray(guess), jnp.asarray(active),
             win=15, iters=6, interpret=True,
         )
@@ -208,6 +208,48 @@ class TestPallasLK:
         )
         np.testing.assert_array_equal(d_m[~active], guess[~active])
         assert not ok_m[~active].any()
+
+    def test_level_kernel_eps_termination(self, rng):
+        """eps=0.01 (the reference's cv::TermCriteria EPS,
+        featureTracking.cpp:211) terminates early yet lands within eps of
+        the fixed-count solve on a smooth trackable pattern."""
+        from lidar_visual_odometry_tpu.ops import lk, pallas_lk
+        from lidar_visual_odometry_tpu.ops.image import gradients
+
+        H, W = 120, 300
+        base = rng.random((H + 10, W + 10)).astype(np.float32)
+
+        def box(a, k=5):
+            c = np.cumsum(np.pad(a, ((k, k), (0, 0))), axis=0)
+            a = (c[k:] - c[:-k])[: a.shape[0]] / k
+            c = np.cumsum(np.pad(a, ((0, 0), (k, k))), axis=1)
+            return (c[:, k:] - c[:, :-k])[:, : a.shape[1]] / k
+
+        sm = box(box(base)).astype(np.float32)
+        img0, img1 = sm[:H, :W], sm[3:H + 3, 2:W + 2]   # true shift (-2, -3)
+
+        N = 64
+        uv = np.stack(
+            [rng.uniform(20, W - 20, N), rng.uniform(20, H - 20, N)], -1
+        ).astype(np.float32)
+        gx, gy = gradients(jnp.asarray(img0))
+        zero = jnp.zeros((N, 2), jnp.float32)
+        d_fix, ok_fix = pallas_lk.lk_level(
+            jnp.asarray(img0), jnp.asarray(img1),
+            jnp.asarray(uv), zero, win=15, iters=10, interpret=True,
+        )
+        d_eps, ok_eps = pallas_lk.lk_level(
+            jnp.asarray(img0), jnp.asarray(img1),
+            jnp.asarray(uv), zero, win=15, iters=10, eps=0.01,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ok_fix), np.asarray(ok_eps))
+        # per-feature difference bounded by the termination epsilon (the
+        # last skipped step is < eps by the exit condition)
+        assert np.abs(np.asarray(d_eps) - np.asarray(d_fix)).max() < 0.01
+        np.testing.assert_allclose(
+            np.asarray(d_eps).mean(0), [-2.0, -3.0], atol=1e-2
+        )
 
 
 class TestBoxSum:
