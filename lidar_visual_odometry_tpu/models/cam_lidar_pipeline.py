@@ -50,15 +50,33 @@ def _split_packed_upload(comb: jax.Array, polar_shape: tuple,
     rate (BASELINE.md: ≈55 ms + 12.5 ms/MB), so the cam-lidar chunk packs
     its two uploads (packed polar scans + uint8 images) into ONE uint16
     buffer per chunk; images travel as byte pairs and are bitcast back
-    here (little-endian on both ends — tests/test_system.py round-trip).
+    here (little-endian on both ends — byte-exactness is covered by
+    tests/test_system.py::test_packed_upload_byte_roundtrip). Odd per-frame
+    image byte counts are padded with one trailing byte on the host and
+    sliced off here after the bitcast.
     """
     K = comb.shape[0]
     n_polar = int(np.prod(polar_shape))
+    n_img = int(np.prod(img_shape))
     pimgs = comb[:, :n_polar].reshape(K, *polar_shape)
     img8 = jax.lax.bitcast_convert_type(
         comb[:, n_polar:], jnp.uint8
-    ).reshape(K, *img_shape)
+    ).reshape(K, -1)[:, :n_img].reshape(K, *img_shape)
     return pimgs, img8
+
+
+def _pack_images_uint16(imgs: np.ndarray) -> np.ndarray:
+    """(K, H, W) uint8 → (K, ceil(H·W/2)) uint16 byte pairs, host side.
+
+    Only the per-frame TOTAL byte count needs to be even for the view —
+    odd-width images (e.g. KITTI grayscale 1241 px) pad one trailing byte,
+    which ``_split_packed_upload`` slices off after the device bitcast.
+    """
+    K = imgs.shape[0]
+    flat = np.ascontiguousarray(imgs).reshape(K, -1)
+    if flat.shape[1] % 2:
+        flat = np.pad(flat, ((0, 0), (0, 1)))
+    return flat.view(np.uint16)
 
 
 def _np_quat_from_matrix(R: np.ndarray) -> np.ndarray:
@@ -191,25 +209,11 @@ def camlidar_coupled_chunk(
         pimg, img, pts, m = frame
         vis2, rel_cam = vf.chunk_frame_step(vis, img, pts, m, cam, vis_cfg)
         # T_prevlidar_curlidar = T_lidar_cam ∘ T_prevcam_curcam ∘ T_cam_lidar;
-        # solve_and_update returns rel = T_cur_prev, so invert
-        prior = se3.se3_compose(
-            T_lidar_cam,
-            se3.se3_compose(se3.se3_inverse(rel_cam), T_cam_lidar),
-        )
-        # plausibility gate: translation step bound, rotation bound (0.6 rad
-        # per 0.1 s frame ≈ 340°/s, beyond any ground vehicle) and
-        # finiteness — a degenerate visual solve must never poison the
-        # lidar warm start (degraded-mode fallback, Frontend.cpp:90-127)
-        ang = 2.0 * jnp.arccos(jnp.clip(jnp.abs(prior.q[0]), 0.0, 1.0))
-        ok = (
-            (jnp.linalg.norm(prior.t) < max_prior_step)
-            & (ang < 0.6)
-            & jnp.all(jnp.isfinite(prior.t))
-            & jnp.all(jnp.isfinite(prior.q))
-        )
-        init = se3.Pose(
-            jnp.where(ok, prior.q, odo.pose_rel.q),
-            jnp.where(ok, prior.t, odo.pose_rel.t),
+        # solve_and_update returns rel = T_cur_prev, so invert. The
+        # plausibility gate (translation/rotation bounds + finiteness) is
+        # the degraded-mode fallback of Frontend.cpp:90-127.
+        init = _visual_prior_gate(
+            odo, rel_cam, T_lidar_cam, T_cam_lidar, max_prior_step
         )
         feats = register_polar_impl(pimg, lidar_cfg).features
         odo2, pose_w = lo.odometry_step(odo, feats, odom_cfg, init_rel=init)
@@ -223,18 +227,135 @@ def camlidar_coupled_chunk(
     return odo_state, vis_state, se3.Pose(lq, lt), se3.Pose(vq, vt)
 
 
+def _visual_prior_gate(odo, rel_cam, T_lidar_cam, T_cam_lidar,
+                       max_prior_step: float):
+    """Map the visual relative pose into the lidar frame and gate it for
+    plausibility (shared by the coupled chunks; see camlidar_coupled_chunk)."""
+    prior = se3.se3_compose(
+        T_lidar_cam,
+        se3.se3_compose(se3.se3_inverse(rel_cam), T_cam_lidar),
+    )
+    ang = 2.0 * jnp.arccos(jnp.clip(jnp.abs(prior.q[0]), 0.0, 1.0))
+    ok = (
+        (jnp.linalg.norm(prior.t) < max_prior_step)
+        & (ang < 0.6)
+        & jnp.all(jnp.isfinite(prior.t))
+        & jnp.all(jnp.isfinite(prior.q))
+    )
+    return se3.Pose(
+        jnp.where(ok, prior.q, odo.pose_rel.q),
+        jnp.where(ok, prior.t, odo.pose_rel.t),
+    )
+
+
+@partial(jax.jit, static_argnames=("lidar_cfg", "odom_cfg", "map_cfg",
+                                   "vis_cfg", "coupled", "map_skip",
+                                   "max_prior_step"))
+def camlidar_slam_chunk(
+    odo_state,
+    map_state,
+    vis_state,
+    pimgs: jax.Array,       # (K, R, W, C) uint16 packed polar scans
+    imgs: jax.Array,        # (K, H, W) uint8
+    clouds: jax.Array,      # (K, M, 3) camera-frame depth clouds
+    cmasks: jax.Array,      # (K, M)
+    T_lidar_cam: se3.Pose,
+    T_cam_lidar: se3.Pose,
+    cam,
+    lidar_cfg,
+    odom_cfg,
+    map_cfg,
+    vis_cfg,
+    start_idx: jax.Array | int = 0,
+    map_skip: int = 1,
+    coupled: bool = False,
+    max_prior_step: float = 2.0,
+):
+    """K frames of the reference's FULL topology in ONE device program:
+    visual frontend + scan-to-scan odometry + scan-to-map refinement
+    (laserOdometry embeds the visual stack while laserMapping runs behind
+    it — ``laserOdometry.cpp:248,308`` + ``laserMapping.cpp:934``).
+
+    coupled=True feeds the visual relative pose (extrinsic-mapped, gated)
+    into the odometry warm start — the dormant coupling
+    (``CamLidarProcess.cpp:278-307``) live inside the full stack.
+
+    Returns (odo_state, map_state, vis_state, odom poses, mapped poses,
+    visual camera-world poses), each a (K,)-stacked Pose.
+    """
+    from .device_mapping import device_mapping_impl
+    from .scan_registration import register_polar_impl
+
+    def step(carry, frame):
+        odo, mp, vis = carry
+        pimg, img, pts, m, i = frame
+        vis2, rel_cam = vf.chunk_frame_step(vis, img, pts, m, cam, vis_cfg)
+        feats = register_polar_impl(pimg, lidar_cfg).features
+        if coupled:
+            init = _visual_prior_gate(
+                odo, rel_cam, T_lidar_cam, T_cam_lidar, max_prior_step
+            )
+            odo2, pose_w = lo.odometry_step(
+                odo, feats, odom_cfg, init_rel=init
+            )
+        else:
+            odo2, pose_w = lo.odometry_step(odo, feats, odom_cfg)
+        if map_skip <= 1:
+            mp, refined = device_mapping_impl(
+                mp, feats.less_sharp.xyz, feats.less_sharp.mask,
+                feats.less_flat.xyz, feats.less_flat.mask, pose_w, map_cfg,
+            )
+        else:
+            mp, refined = jax.lax.cond(
+                i % map_skip == 0,
+                lambda mp, pose_w: device_mapping_impl(
+                    mp, feats.less_sharp.xyz, feats.less_sharp.mask,
+                    feats.less_flat.xyz, feats.less_flat.mask,
+                    pose_w, map_cfg,
+                ),
+                lambda mp, pose_w: (
+                    mp, se3.se3_compose(mp.correction, pose_w)
+                ),
+                mp, pose_w,
+            )
+        return (odo2, mp, vis2), (
+            pose_w.q, pose_w.t, refined.q, refined.t,
+            vis2.pose_w.q, vis2.pose_w.t,
+        )
+
+    K = pimgs.shape[0]
+    frame_ids = (
+        jnp.asarray(start_idx, jnp.int32) + jnp.arange(K, dtype=jnp.int32)
+    )
+    (odo_state, map_state, vis_state), out = jax.lax.scan(
+        step, (odo_state, map_state, vis_state),
+        (pimgs, imgs, clouds, cmasks, frame_ids),
+    )
+    oq, ot, mq, mt, vq, vt = out
+    return (
+        odo_state, map_state, vis_state,
+        se3.Pose(oq, ot), se3.Pose(mq, mt), se3.Pose(vq, vt),
+    )
+
+
 @dataclass
 class CamLidarResult:
     lidar_positions: np.ndarray     # (N, 3) lidar-odometry trajectory
     visual_positions: np.ndarray    # (N, 3) visual odometry in lidar frame
     lidar_quats: np.ndarray
     visual_quats: np.ndarray
+    mapped_positions: np.ndarray | None = None  # (N, 3) scan-to-map refined
+    mapped_quats: np.ndarray | None = None
 
 
 class CamLidarPipeline:
     def __init__(self, cfg: SystemConfig = SystemConfig(), capacity: int = 131072):
         self.cfg = cfg
         self.capacity = capacity
+        # single-buffer scan+image upload (default); False falls back to two
+        # separate transfers per chunk — the ablation path of the packed
+        # upload experiment in BASELINE.md
+        self.pack_upload = True
         self.odom = lo.LidarOdometry(cfg.odometry)
         self.cam = cam_ops.Pinhole.from_config(cfg.camera)
         self.vo = vf.VisualOdometry(self.cam, cfg.visual)
@@ -327,7 +448,9 @@ class CamLidarPipeline:
     def run_chunked(self, scans: list, images: list, chunk: int = 8,
                     progress: bool = False,
                     ingest: str = "uint16",
-                    coupled: bool = False) -> CamLidarResult:
+                    coupled: bool = False,
+                    mapping: bool = False,
+                    map_skip: int = 1) -> CamLidarResult:
         """The fused fast path: per chunk ONE lidar device program
         (odometry_chunk_quantized / _polar) + ONE visual device program
         (visual_frontend.visual_chunk), both dispatched asynchronously —
@@ -338,16 +461,26 @@ class CamLidarPipeline:
         coupled=True runs the TIGHTLY-COUPLED single program instead
         (camlidar_coupled_chunk): the visual relative pose warm-starts the
         lidar scan-to-scan solve — the reference's dormant coupling
-        (CamLidarProcess.cpp:278-307) made live. Requires ingest="polar"."""
+        (CamLidarProcess.cpp:278-307) made live. Requires ingest="polar".
+
+        mapping=True adds the scan-to-map stage to the fused program
+        (camlidar_slam_chunk) — the reference's actual full topology
+        (laserOdometry embeds the visual stack, laserMapping refines
+        behind it); composes with coupled. Requires ingest="polar";
+        mapped trajectory lands in CamLidarResult.mapped_positions."""
         import time
 
         import jax
 
         n = len(scans)
         assert len(images) == n
-        if coupled:
+        if coupled or mapping:
             assert ingest.startswith("polar"), \
-                "coupled mode uses a polar ingest"
+                "coupled/mapping modes use a polar ingest"
+        if mapping:
+            from ..models import device_mapping as dm
+
+            map_state = dm.init_state(self.cfg.mapping)
 
         # frame 0 bootstraps both carried states
         raw0 = np.asarray(scans[0])[:, :3]
@@ -370,6 +503,7 @@ class CamLidarPipeline:
         cam_capacity = self.cfg.visual.depth_cloud_cap
         lcfg = self.cfg.lidar
         lq, lt, vq, vt = [], [], [], []
+        mapq, mapt = [], []
         for s in range(1, n, chunk):
             batch = list(range(s, min(s + chunk, n)))
             polar = ingest.startswith("polar")
@@ -408,16 +542,12 @@ class CamLidarPipeline:
                     n_frames=chunk,
                     channels=1 if ingest == "polar2" else 2,
                 )
-                if getattr(self, "pack_upload", True):
+                if self.pack_upload:
                     # ONE upload per chunk: scans + images share a uint16
                     # buffer (fixed per-transfer cost dominates at these
                     # sizes; see _split_packed_upload)
                     comb = np.concatenate(
-                        [
-                            packed.reshape(chunk, -1),
-                            np.ascontiguousarray(imgs)
-                            .view(np.uint16).reshape(chunk, -1),
-                        ],
+                        [packed.reshape(chunk, -1), _pack_images_uint16(imgs)],
                         axis=1,
                     )
                     pimgs, dimgs = _split_packed_upload(
@@ -430,7 +560,19 @@ class CamLidarPipeline:
                     pimgs, jnp.asarray(self.R_cl), jnp.asarray(self.t_cl),
                     lcfg, cam_capacity,
                 )
-                if coupled:
+                if mapping:
+                    (odo_state, map_state, vis_state, poses_l, poses_m,
+                     poses_c) = camlidar_slam_chunk(
+                        odo_state, map_state, vis_state, jnp.asarray(pimgs),
+                        dimgs, dcx, dcm,
+                        self.T_lidar_cam, self.T_cam_lidar, self.cam,
+                        lcfg, self.cfg.odometry, self.cfg.mapping,
+                        self.cfg.visual,
+                        start_idx=s, map_skip=map_skip, coupled=coupled,
+                    )
+                    mapq.append(poses_m.q)
+                    mapt.append(poses_m.t)
+                elif coupled:
                     odo_state, vis_state, poses_l, poses_c = (
                         camlidar_coupled_chunk(
                             odo_state, vis_state, jnp.asarray(pimgs),
@@ -450,7 +592,7 @@ class CamLidarPipeline:
                     odo_state, jnp.asarray(qs), jnp.asarray(counts),
                     lcfg, self.cfg.odometry
                 )
-            if not coupled:
+            if not coupled and not mapping:
                 vis_state, poses_c = vf.visual_chunk(
                     vis_state, dimgs, dcx, dcm, self.cam, self.cfg.visual
                 )
@@ -479,6 +621,12 @@ class CamLidarPipeline:
         # (== identity, since T_lidar_cam ∘ I ∘ T_cam_lidar = I)
         vis_q = np.concatenate([ident_q, vis_q])[:n]
         vis_t = np.concatenate([zero_t, vis_t])[:n]
+        mapped_q = mapped_t = None
+        if mapping:
+            mapped_q = np.concatenate(
+                [ident_q, np.asarray(_cat(mapq))])[:n]
+            mapped_t = np.concatenate(
+                [zero_t, np.asarray(_cat(mapt))])[:n]
 
         if progress:
             print(f"cam-lidar fused: {n} frames in {wall:.2f}s "
@@ -487,4 +635,5 @@ class CamLidarPipeline:
         return CamLidarResult(
             lidar_positions=lidar_t, visual_positions=vis_t,
             lidar_quats=lidar_q, visual_quats=vis_q,
+            mapped_positions=mapped_t, mapped_quats=mapped_q,
         )

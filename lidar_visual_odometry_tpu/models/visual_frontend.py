@@ -485,6 +485,7 @@ def visual_step(
         reverse_levels=cfg.lk_reverse_levels or None,
         iters_coarse=cfg.lk_iters_coarse or None,
         eps=cfg.lk_eps,
+        affine=cfg.lk_affine,
     )
     table, rel, new_pose_w = solve_and_update(
         uv1, ok, prev_dc, table, pose_w, warm_rel, cam, cfg
@@ -572,6 +573,7 @@ def chunk_frame_step(
         reverse_levels=cfg.lk_reverse_levels or None,
         iters_coarse=cfg.lk_iters_coarse or None,
         eps=cfg.lk_eps,
+        affine=cfg.lk_affine,
     )
     table, rel, pose_w = solve_and_update(
         uv1, ok, carry.prev_dc, carry.table, carry.pose_w,

@@ -18,6 +18,9 @@ import jax.numpy as jnp
 from .image import bilinear, gradients
 
 
+_AFF_DAMP = 0.03
+
+
 def _window_offsets(win: int, dtype=jnp.float32):
     r = (win - 1) / 2.0
     xs = jnp.linspace(-r, r, win, dtype=dtype)
@@ -25,11 +28,26 @@ def _window_offsets(win: int, dtype=jnp.float32):
     return jnp.stack([ox.ravel(), oy.ravel()], axis=-1)  # (win², 2)
 
 
-def _track_level(img0, img1, gx, gy, uv0, guess, *, win: int, iters: int):
+def _track_level(img0, img1, gx, gy, uv0, guess, *, win: int, iters: int,
+                 affine: bool = False):
     """One pyramid level of inverse-compositional KLT for all features.
 
     uv0 (N, 2): feature coords in img0 at this level; guess (N, 2): current
     displacement estimate. Returns refined displacement (N, 2).
+
+    affine=True runs the 6-DOF deformation-compensated solve: the patch is
+    still SAMPLED translation-only (gather pattern unchanged — critical for
+    the TPU kernel), but four affine nuisance columns (∇T·x basis) join the
+    regression and the fitted deformation feeds back into the residual to
+    first order (``e += (A·x)·∇T``). Under forward motion the patch zooms
+    ~t_z/z per frame (±0.7 px across a 13-px window at 10 m) — a
+    translation-only model absorbs that deformation into ``d`` as a bias
+    that is CORRELATED across features whenever scene texture is spatially
+    coherent, which is exactly the drift mode of the feature-VO corridor
+    bench (measured: median flow error 0.42→0.18 px, mean bias
+    0.5→0.02 px; BASELINE.md ablation table). cv::calcOpticalFlowPyrLK
+    (featureTracking.cpp:203-211) is translation-only and carries this
+    bias; the 6-DOF solve removes it at unchanged sampling cost.
     """
     offs = _window_offsets(win, img0.dtype)                 # (W2, 2)
 
@@ -44,26 +62,59 @@ def _track_level(img0, img1, gx, gy, uv0, guess, *, win: int, iters: int):
         a22 = jnp.sum(jy * jy)
         det = a11 * a22 - a12 * a12
         ok = det > 1e-9
-        inv_det = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-12), 0.0)
 
-        def body(i, d):
+        if not affine:
+            inv_det = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-12), 0.0)
+
+            def body(i, d):
+                cur = bilinear(img1, pts0 + d[None, :])
+                e = cur - t
+                b1 = jnp.sum(e * jx)
+                b2 = jnp.sum(e * jy)
+                dd = inv_det * jnp.stack(
+                    [a22 * b1 - a12 * b2, a11 * b2 - a12 * b1]
+                )
+                return d - dd
+
+            d = jax.lax.fori_loop(0, iters, body, d)
+            return d, ok
+
+        ox, oy = offs[:, 0], offs[:, 1]
+        J = jnp.stack([jx, jy, jx * ox, jx * oy, jy * ox, jy * oy], -1)
+        H = J.T @ J
+        # relative Tikhonov damping on the affine block only: weakly
+        # textured patches must not let the deformation DOFs wander (they
+        # would drag the translation with them). Swept on the 48-frame
+        # corridor: λ=0 → ATE 0.093, λ=0.1 → 0.147 (over-shrunk); a small
+        # λ keeps the stabilizer without biasing the deformation fit.
+        damp = jnp.concatenate(
+            [jnp.zeros(2, J.dtype), _AFF_DAMP * jnp.diagonal(H)[2:]]
+        )
+        H = H + jnp.diag(damp) + 1e-6 * jnp.eye(6, dtype=J.dtype)
+        Hinv = jnp.where(ok, 1.0, 0.0) * jnp.linalg.inv(H)
+
+        def body(i, carry):
+            d, A = carry
             cur = bilinear(img1, pts0 + d[None, :])
-            e = cur - t
-            b1 = jnp.sum(e * jx)
-            b2 = jnp.sum(e * jy)
-            dd = inv_det * jnp.stack(
-                [a22 * b1 - a12 * b2, a11 * b2 - a12 * b1]
+            # synthesized affine warp: first-order in A, no affine gather
+            e = (
+                cur - t
+                + (A[0] * ox + A[1] * oy) * jx
+                + (A[2] * ox + A[3] * oy) * jy
             )
-            return d - dd
+            dp = Hinv @ (J.T @ e)
+            return d - dp[:2], A - dp[2:]
 
-        d = jax.lax.fori_loop(0, iters, body, d)
+        d, _ = jax.lax.fori_loop(
+            0, iters, body, (d, jnp.zeros(4, img0.dtype))
+        )
         return d, ok
 
     return jax.vmap(per_feature)(uv0, guess)
 
 
 @partial(jax.jit, static_argnames=("win", "iters", "levels", "iters_coarse",
-                                   "eps"))
+                                   "eps", "affine"))
 def track_pyramid(
     pyr0: tuple, pyr1: tuple, uv0: jax.Array,
     init_d: jax.Array | None = None,
@@ -71,6 +122,7 @@ def track_pyramid(
     *, win: int = 25, iters: int = 10, levels: int = 4,
     iters_coarse: int | None = None,
     eps: float = 0.0,
+    affine: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Track features uv0 (N, 2, level-0 pixels) from pyr0 to pyr1.
 
@@ -87,6 +139,9 @@ def track_pyramid(
     cv::TermCriteria(COUNT+EPS, 30, 0.01) (featureTracking.cpp:211); 0
     runs the fixed count. Kernel path only (the XLA path is SIMD across
     features, so per-feature exit saves nothing there).
+    affine: run the 6-DOF deformation-compensated solve at the FINEST level
+    (coarse levels only need the basin; the bias it removes is sub-pixel).
+    See ``_track_level``.
     """
     scale_top = 2.0 ** (levels - 1)
     if init_d is None:
@@ -95,35 +150,34 @@ def track_pyramid(
         d = init_d / scale_top
     ok_all = jnp.ones(uv0.shape[0], bool)
     on_tpu = jax.default_backend() == "tpu"
-    # the Pallas kernel samples an aligned (rows, 256) VMEM strip per patch;
-    # a pyramid level smaller than the strip (small top levels of small
-    # cameras) would slice out of bounds and the corner clamps get negative
-    # bounds — gate those levels onto the XLA path
+    # the Pallas kernel pads rows/lanes to strip alignment internally; a
+    # level still needs room for the (win+3)-wide sample corner clamps —
+    # gate levels smaller than the window onto the XLA path
     from . import pallas_lk
 
-    strip_rows = pallas_lk._strip_rows(win)
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
         it = iters if (lvl == 0 or iters_coarse is None) else iters_coarse
         img0 = pyr0[lvl]
         img1 = pyr1[lvl]
         fits = (
-            img0.shape[0] >= strip_rows
-            and img0.shape[0] - win - 4 >= 0
+            img0.shape[0] - win - 4 >= 0
             and img0.shape[1] - win - 4 >= 0
         )
+        aff = affine and lvl == 0
         if on_tpu and uv0.shape[0] % 8 == 0 and fits:
             # gather-free Pallas kernel: pyramid level resident in VMEM,
             # patches via aligned slices + rolls; template gradients are
             # derived in-kernel, so no gradient images are computed here
             d, ok = pallas_lk.lk_level(
                 img0, img1, uv0 / s, d, active, win=win, iters=it,
-                eps=eps,
+                eps=eps, affine=aff,
             )
         else:
             gx, gy = gradients(img0)
             d, ok = _track_level(
-                img0, img1, gx, gy, uv0 / s, d, win=win, iters=it
+                img0, img1, gx, gy, uv0 / s, d, win=win, iters=it,
+                affine=aff,
             )
         ok_all = ok_all & ok
         if lvl > 0:
@@ -138,7 +192,8 @@ def track_pyramid(
 
 
 @partial(jax.jit, static_argnames=("win", "iters", "levels",
-                                   "reverse_levels", "iters_coarse", "eps"))
+                                   "reverse_levels", "iters_coarse", "eps",
+                                   "affine"))
 def track_pyramid_reverse_checked(
     pyr0: tuple, pyr1: tuple, uv0: jax.Array,
     active: jax.Array | None = None,
@@ -148,6 +203,7 @@ def track_pyramid_reverse_checked(
     reverse_levels: int | None = None,
     iters_coarse: int | None = None,
     eps: float = 0.0,
+    affine: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward + reverse track with round-trip gate ≤ max_reverse_err px.
 
@@ -163,7 +219,7 @@ def track_pyramid_reverse_checked(
     uv1, ok_f = track_pyramid(
         pyr0, pyr1, uv0, init_d, active,
         win=win, iters=iters, levels=levels, iters_coarse=iters_coarse,
-        eps=eps,
+        eps=eps, affine=affine,
     )
     rl = levels if reverse_levels is None else min(reverse_levels, levels)
     # reverse pass: only forward survivors need the round-trip check
@@ -171,7 +227,7 @@ def track_pyramid_reverse_checked(
     uv0_back, ok_b = track_pyramid(
         pyr1[:rl], pyr0[:rl], uv1, uv0 - uv1, act_b,
         win=win, iters=iters, levels=rl, iters_coarse=iters_coarse,
-        eps=eps,
+        eps=eps, affine=affine,
     )
     err = jnp.linalg.norm(uv0_back - uv0, axis=-1)
     return uv1, ok_f & ok_b & (err <= max_reverse_err)

@@ -37,12 +37,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from .lk import _AFF_DAMP
+
+
 def _strip_rows(win: int) -> int:
     # win+2 template patch + 1 bilinear tap + ≤7 sublane alignment
     return ((win + 3 + 7) // 8 + 1) * 8
 
 
-def _lk_level_kernel(win, iters, eps, H, W, fb,
+def _chol6(Hm):
+    """Unrolled 6×6 Cholesky on scalar entries (list-of-lists); all ops are
+    traced scalars — fine inside a Pallas kernel body."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = Hm[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _solve6(L, b):
+    """x = (L Lᵀ)⁻¹ b, unrolled forward/back substitution on scalars."""
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _lk_level_kernel(win, iters, eps, affine, H, Hpad, W, fb,
                      q_ref, i0_ref, i1_ref, out_ref):
     Wpad = i0_ref.shape[1]
     rows = _strip_rows(win)
@@ -58,10 +94,14 @@ def _lk_level_kernel(win, iters, eps, H, W, fb,
         fy = yf - yi.astype(jnp.float32)
         xi = jnp.clip(xi, 0, W - w - 1)
         yi = jnp.clip(yi, 0, H - w - 1)
-        # keep the strip fully inside the (H, Wpad) block: the roll below
-        # compensates for any aligned base, so clamping costs nothing
+        # keep the strip inside the (Hpad, Wpad) block. Hpad is a multiple
+        # of 8 with Hpad >= rows, so the clamp value Hpad - rows is itself
+        # 8-aligned, and the roll below never wraps patch rows:
+        # yi <= H - w - 1 <= Hpad - w - 1  =>  yi - ya + w + 1 <= rows
+        # in the clamped branch, and yi - ya <= 7 < rows - (w + 1) in the
+        # aligned branch (rows >= win + 11 by _strip_rows).
         ya = pl.multiple_of(
-            jnp.minimum((yi // 8) * 8, ((H - rows) // 8) * 8), 8
+            jnp.minimum((yi // 8) * 8, Hpad - rows), 8
         )
         xa = pl.multiple_of(
             jnp.minimum((xi // 128) * 128, Wpad - 256), 128
@@ -109,31 +149,92 @@ def _lk_level_kernel(win, iters, eps, H, W, fb,
             a22 = jnp.sum(jy * jy)
             det = a11 * a22 - a12 * a12
             ok = det > 1e-9
-            inv_det = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-12), 0.0)
 
-            # GN iterations with the reference's EPS termination
-            # (cv::TermCriteria(COUNT+EPS, 30, 0.01),
-            # featureTracking.cpp:211): stop once the step shrinks below
-            # ``eps`` px. Warm coarse-to-fine features converge in 2-4
-            # iterations — the fixed count paid the full sample cost per
-            # feature per level. eps=0 reproduces the fixed schedule.
-            def cond(c):
-                i, _, _, dd2 = c
-                return (i < iters) & (dd2 >= eps * eps)
+            if not affine:
+                inv_det = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-12), 0.0)
 
-            def body(c):
-                i, dx, dy, _ = c
-                cur = sample(i1_ref, tx + dx, ty + dy)
-                e = cur - t
-                b1 = jnp.sum(e * jx)
-                b2 = jnp.sum(e * jy)
-                ddx = inv_det * (a22 * b1 - a12 * b2)
-                ddy = inv_det * (a11 * b2 - a12 * b1)
-                return (i + 1, dx - ddx, dy - ddy, ddx * ddx + ddy * ddy)
+                # GN iterations with the reference's EPS termination
+                # (cv::TermCriteria(COUNT+EPS, 30, 0.01),
+                # featureTracking.cpp:211): stop once the step shrinks below
+                # ``eps`` px. Warm coarse-to-fine features converge in 2-4
+                # iterations — the fixed count paid the full sample cost per
+                # feature per level. eps=0 reproduces the fixed schedule.
+                def cond(c):
+                    i, _, _, dd2 = c
+                    return (i < iters) & (dd2 >= eps * eps)
 
-            _, dx, dy, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), dx0, dy0, jnp.float32(jnp.inf))
-            )
+                def body(c):
+                    i, dx, dy, _ = c
+                    cur = sample(i1_ref, tx + dx, ty + dy)
+                    e = cur - t
+                    b1 = jnp.sum(e * jx)
+                    b2 = jnp.sum(e * jy)
+                    ddx = inv_det * (a22 * b1 - a12 * b2)
+                    ddy = inv_det * (a11 * b2 - a12 * b1)
+                    return (i + 1, dx - ddx, dy - ddy, ddx * ddx + ddy * ddy)
+
+                _, dx, dy, _ = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), dx0, dy0, jnp.float32(jnp.inf))
+                )
+            else:
+                # 6-DOF deformation-compensated solve (ops/lk._track_level
+                # affine mode): SAMPLING stays translation-only — the same
+                # strip+roll pattern — while four affine nuisance columns
+                # absorb the forward-motion patch deformation that would
+                # otherwise bias ``d`` (the feature-VO drift mode; see
+                # BASELINE.md ablation). Template-side work: 21 column
+                # sums + one unrolled 6×6 Cholesky per feature; per
+                # iteration: 6 sums + two triangular solves, all scalars.
+                rr = jnp.float32(r)
+                oxg = jax.lax.broadcasted_iota(
+                    jnp.float32, (win, win), 1
+                ) - rr
+                oyg = jax.lax.broadcasted_iota(
+                    jnp.float32, (win, win), 0
+                ) - rr
+                cols = (jx, jy, jx * oxg, jx * oyg, jy * oxg, jy * oyg)
+                Hm = [[None] * 6 for _ in range(6)]
+                for ii in range(6):
+                    for jj in range(ii + 1):
+                        v = jnp.sum(cols[ii] * cols[jj])
+                        if ii == jj:
+                            # 10% relative damping on the affine block
+                            # (ops/lk._track_level affine mode — keep the
+                            # two paths numerically aligned)
+                            if ii >= 2:
+                                v = v * (1.0 + _AFF_DAMP)
+                            v = v + 1e-6
+                        Hm[ii][jj] = v
+                        Hm[jj][ii] = v
+                L = _chol6(Hm)
+
+                def cond(c):
+                    i = c[0]
+                    dd2 = c[7]
+                    return (i < iters) & (dd2 >= eps * eps)
+
+                def body(c):
+                    i, dx, dy, a0, a1, a2, a3, _ = c
+                    cur = sample(i1_ref, tx + dx, ty + dy)
+                    e = (
+                        cur - t
+                        + (a0 * oxg + a1 * oyg) * jx
+                        + (a2 * oxg + a3 * oyg) * jy
+                    )
+                    b = [jnp.sum(e * cols[ii]) for ii in range(6)]
+                    dp = _solve6(L, b)
+                    return (
+                        i + 1, dx - dp[0], dy - dp[1],
+                        a0 - dp[2], a1 - dp[3], a2 - dp[4], a3 - dp[5],
+                        dp[0] * dp[0] + dp[1] * dp[1],
+                    )
+
+                z = jnp.float32(0.0)
+                _, dx, dy, _, _, _, _, _ = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.int32(0), dx0, dy0, z, z, z, z,
+                     jnp.float32(jnp.inf)),
+                )
             out_ref[f, 0] = dx
             out_ref[f, 1] = dy
             out_ref[f, 2] = ok.astype(jnp.float32)
@@ -151,7 +252,8 @@ def _lk_level_kernel(win, iters, eps, H, W, fb,
     jax.lax.fori_loop(0, fb, per_feature, 0)
 
 
-@partial(jax.jit, static_argnames=("win", "iters", "eps", "fb", "interpret"))
+@partial(jax.jit, static_argnames=("win", "iters", "eps", "fb", "affine",
+                                   "interpret"))
 def lk_level(
     img0: jax.Array,    # (H, W) float32
     img1: jax.Array,
@@ -163,6 +265,7 @@ def lk_level(
     iters: int = 10,
     eps: float = 0.0,
     fb: int = 8,
+    affine: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Refined displacement + Hessian-ok flag for one pyramid level.
@@ -176,10 +279,19 @@ def lk_level(
     N = uv0.shape[0]
     assert N % fb == 0, (N, fb)
     Wpad = max(-(-W // 128) * 128, 256)
+    rows = _strip_rows(win)
+    # rows are padded to 8-alignment (and at least one full strip) exactly
+    # like lanes are padded to 128 — non-8-multiple heights (e.g. KITTI
+    # pyramid levels 188/94/47) would otherwise force the strip base clamp
+    # to wrap patch rows circularly through pltpu.roll
+    Hpad = max(-(-H // 8) * 8, rows)
     pad = Wpad - W
+    padh = Hpad - H
 
     def padw(a):
-        return jnp.pad(a, ((0, 0), (0, pad))) if pad else a
+        if pad or padh:
+            return jnp.pad(a, ((0, padh), (0, pad)))
+        return a
 
     act = (
         jnp.ones((N, 1), jnp.float32) if active is None
@@ -189,12 +301,14 @@ def lk_level(
         [uv0.astype(jnp.float32), guess.astype(jnp.float32), act], axis=-1
     )  # (N, 5)
     out = pl.pallas_call(
-        partial(_lk_level_kernel, win, iters, eps, H, W, fb),
+        partial(_lk_level_kernel, win, iters, eps, affine, H, Hpad, W, fb),
         grid=(N // fb,),
         in_specs=[
             pl.BlockSpec((fb, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((H, Wpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, Wpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hpad, Wpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hpad, Wpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((fb, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((N, 4), jnp.float32),

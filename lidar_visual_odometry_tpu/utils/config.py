@@ -165,7 +165,21 @@ class VisualConfig:
     lk_iters: int = 10
     lk_eps: float = 0.01              # per-feature LK step termination in px
                                       # (cv::TermCriteria(COUNT+EPS, 30, 0.01),
-                                      # featureTracking.cpp:211); 0 = fixed count
+                                      # featureTracking.cpp:211); 0 = fixed count.
+                                      # TPU Pallas kernel only: the XLA/CPU
+                                      # fallback is SIMD across features and
+                                      # runs the fixed count — the two paths
+                                      # differ by < lk_eps px per level by the
+                                      # exit condition (tested in
+                                      # test_level_kernel_eps_termination)
+    lk_affine: bool = True            # 6-DOF deformation-compensated LK at
+                                      # the finest level: affine nuisance
+                                      # columns absorb forward-motion patch
+                                      # zoom/shear that biases the
+                                      # translation-only model (cv LK,
+                                      # featureTracking.cpp:203-211, carries
+                                      # this bias); measured flow bias
+                                      # 0.5→0.02 px on the corridor bench
     reverse_check_px: float = 1.0     # fwd/bwd consistency gate (featureTracking.cpp:214-237)
     lk_reverse_levels: int = 0        # 0 = full-pyramid reverse (reference);
                                       # n>0: shallow reverse over the finest n

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from lidar_visual_odometry_tpu.ops import pallas_lk
-from lidar_visual_odometry_tpu.ops.image import build_pyramid, gradients
+from lidar_visual_odometry_tpu.ops.image import build_pyramid
 
 
 def main():
@@ -39,7 +39,6 @@ def main():
         p0 = build_pyramid(jnp.asarray(img0), 3)[level]
         p1 = build_pyramid(jnp.asarray(img1), 3)[level]
         H, W = p0.shape
-        gx, gy = gradients(p0)
         uv = jnp.asarray(np.stack([
             rng.uniform(15, W - 15, N), rng.uniform(15, H - 15, N)
         ], -1).astype(np.float32))

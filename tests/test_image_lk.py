@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lidar_visual_odometry_tpu.data import synthetic
 from lidar_visual_odometry_tpu.ops import camera, image, lk
@@ -208,6 +209,116 @@ class TestPallasLK:
         )
         np.testing.assert_array_equal(d_m[~active], guess[~active])
         assert not ok_m[~active].any()
+
+    @pytest.mark.parametrize("H,W", [(94, 188), (47, 300), (188, 300)])
+    def test_level_kernel_unaligned_height(self, rng, H, W):
+        """Non-8-multiple heights (KITTI pyramid levels 188/94/47): the strip
+        base clamp must never wrap patch rows via pltpu.roll. Features are
+        deliberately placed in the BOTTOM band where the pre-fix clamp
+        corrupted the template."""
+        from lidar_visual_odometry_tpu.ops import lk, pallas_lk
+        from lidar_visual_odometry_tpu.ops.image import gradients
+
+        base = rng.random((H + 10, W + 10)).astype(np.float32)
+
+        def box(a, k=5):
+            c = np.cumsum(np.pad(a, ((k, k), (0, 0))), axis=0)
+            a = (c[k:] - c[:-k])[: a.shape[0]] / k
+            c = np.cumsum(np.pad(a, ((0, 0), (k, k))), axis=1)
+            return (c[:, k:] - c[:, :-k])[:, : a.shape[1]] / k
+
+        sm = box(box(base)).astype(np.float32)
+        img0, img1 = sm[:H, :W], sm[3:H + 3, 2:W + 2]   # true shift (-2, -3)
+
+        N = 64
+        # bottom-band + scattered interior features
+        uv = np.stack(
+            [rng.uniform(20, W - 20, N),
+             np.concatenate([rng.uniform(H - 22, H - 12, N // 2),
+                             rng.uniform(12, H - 12, N - N // 2)])], -1
+        ).astype(np.float32)
+        gx, gy = gradients(jnp.asarray(img0))
+        zero = jnp.zeros((N, 2), jnp.float32)
+        d_ref, ok_ref = lk._track_level(
+            jnp.asarray(img0), jnp.asarray(img1), gx, gy,
+            jnp.asarray(uv), zero, win=15, iters=10,
+        )
+        d_ker, ok_ker = pallas_lk.lk_level(
+            jnp.asarray(img0), jnp.asarray(img1),
+            jnp.asarray(uv), zero, win=15, iters=10, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_ker))
+        np.testing.assert_allclose(
+            np.asarray(d_ker), np.asarray(d_ref), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_ker).mean(0), [-2.0, -3.0], atol=1e-3
+        )
+
+    def test_level_kernel_affine_matches_xla(self, rng):
+        """6-DOF deformation-compensated kernel (interpret) vs the XLA
+        affine path, on a ZOOMING pair where translation-only LK is biased:
+        both must agree and land near the true center flow."""
+        from lidar_visual_odometry_tpu.ops import lk, pallas_lk
+        from lidar_visual_odometry_tpu.ops.image import bilinear, gradients
+
+        H, W = 120, 300
+        base = rng.random((2 * H + 20, 2 * W + 20)).astype(np.float32)
+
+        def box(a, k=5):
+            c = np.cumsum(np.pad(a, ((k, k), (0, 0))), axis=0)
+            a = (c[k:] - c[:-k])[: a.shape[0]] / k
+            c = np.cumsum(np.pad(a, ((0, 0), (k, k))), axis=1)
+            return (c[:, k:] - c[:, :-k])[:, : a.shape[1]] / k
+
+        sm = jnp.asarray(box(box(base)).astype(np.float32))
+        ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+        # img0: unit sampling; img1: 4% zoom about the center + shift
+        pts0 = np.stack([xs.ravel() + 10, ys.ravel() + 10], -1)
+        cxy = np.array([W / 2, H / 2], np.float32)
+        pts1 = (pts0 - 10 - cxy) * 1.04 + cxy + 10 + np.array([2.0, -1.0])
+        img0 = np.asarray(bilinear(sm, jnp.asarray(pts0))).reshape(H, W)
+        img1 = np.asarray(bilinear(sm, jnp.asarray(pts1))).reshape(H, W)
+        # true flow at feature (x, y): solve pts1 = pts0 ⇒ img1 pixel u
+        # shows img0 content at (u - shift - cxy)/1.04 + cxy… feature at
+        # p in img0 appears in img1 at q with (q - cxy)*1.04 + shift… no:
+        # img1(q) = sm((q - cxy)*1.04 + cxy + shift + 10), img0(p) =
+        # sm(p + 10) ⇒ q = (p - shift - cxy)/1.04 + cxy
+        N = 64
+        uv = np.stack(
+            [rng.uniform(25, W - 25, N), rng.uniform(25, H - 25, N)], -1
+        ).astype(np.float32)
+        uv_gt = (uv - np.array([2.0, -1.0]) - cxy) / 1.04 + cxy
+        gt_flow = uv_gt - uv
+
+        gx, gy = gradients(jnp.asarray(img0))
+        init = jnp.asarray(gt_flow + rng.normal(0, 0.5, (N, 2))
+                           ).astype(jnp.float32)
+        d_ref, ok_ref = lk._track_level(
+            jnp.asarray(img0), jnp.asarray(img1), gx, gy,
+            jnp.asarray(uv), init, win=15, iters=10, affine=True,
+        )
+        d_ker, ok_ker = pallas_lk.lk_level(
+            jnp.asarray(img0), jnp.asarray(img1),
+            jnp.asarray(uv), init, win=15, iters=10, affine=True,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_ker))
+        np.testing.assert_allclose(
+            np.asarray(d_ker), np.asarray(d_ref), atol=2e-3
+        )
+        # the affine solve must recover the zoomed flow nearly unbiased
+        err = np.asarray(d_ker) - gt_flow
+        assert np.abs(err.mean(0)).max() < 0.05, err.mean(0)
+        # translation-only on the same pair is measurably biased (the
+        # failure mode the affine columns remove)
+        d2, _ = lk._track_level(
+            jnp.asarray(img0), jnp.asarray(img1), gx, gy,
+            jnp.asarray(uv), init, win=15, iters=10, affine=False,
+        )
+        err2 = np.asarray(d2) - gt_flow
+        assert np.median(np.linalg.norm(err, axis=-1)) < \
+            0.5 * np.median(np.linalg.norm(err2, axis=-1))
 
     def test_level_kernel_eps_termination(self, rng):
         """eps=0.01 (the reference's cv::TermCriteria EPS,
