@@ -133,6 +133,26 @@ def main() -> None:
             jax.device_put(ba_pts, NamedSharding(mesh, P(None, so.DATA_AXIS))),
             ba_masks, ba_poses, cam, n_iters=4, level=lvl,
         )), 2)
+        # WEAK scaling for BA: points grow with the mesh (P = 4096·D). On
+        # shared host cores strong scaling of a small fixed problem mostly
+        # measures partition overhead + thread contention; flat wall under
+        # proportional work isolates the collective/overhead cost — the
+        # signal that transfers to real ICI (BASELINE.md explanation of the
+        # BA column)
+        ba_pts_w = jnp.asarray(
+            np.stack([
+                rng.uniform(-2, 2, (Pp * n, 3)) + [0, 0, 6]
+                for _ in range(K)
+            ]).astype(np.float32)
+        )
+        ba_masks_w = jnp.ones((K, Pp * n), bool)
+        row["ba_weak_ms"] = round(timeit(lambda: sharded_ba.sharded_refine(
+            mesh, pyrs,
+            jax.device_put(
+                ba_pts_w, NamedSharding(mesh, P(None, so.DATA_AXIS))
+            ),
+            ba_masks_w, ba_poses, cam, n_iters=4, level=lvl,
+        )), 2)
         results.append(row)
         n *= 2
 

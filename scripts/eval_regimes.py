@@ -39,6 +39,11 @@ def main() -> None:
                     help="add the bumpy-trajectory IMU-fusion regime "
                          "(synthetic IMU from GT poses; ImuFusedOdometry "
                          "vs plain odometry)")
+    ap.add_argument("--direct", action="store_true",
+                    help="add direct-photometric VO rows (plain Tracker2 "
+                         "path and BA-every-frame) across all regimes — "
+                         "the accuracy treatment the feature path got in "
+                         "round 3 (VERDICT r3 item 3)")
     args = ap.parse_args()
 
     import jax
@@ -203,6 +208,82 @@ def main() -> None:
                 "ate_visual_coupled_m": round(metrics.ate_rmse(
                     coupled.visual_positions, gt, align=False), 4),
             }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    if args.direct:
+        # direct-photometric VO rows (≡ Tracker2.cpp:60-81 +
+        # WindowOptimizer.cpp:68-148): plain tracking-only vs per-frame
+        # window BA, across ALL regimes — mirrors the feature-VO rows above
+        import jax.numpy as jnp  # noqa: F811
+
+        from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+            CamLidarPipeline, _map_cam_poses_to_lidar,
+        )
+        from lidar_visual_odometry_tpu.models.direct_vo import DirectVOChunked
+        from lidar_visual_odometry_tpu.ops import camera as cam_ops
+        from lidar_visual_odometry_tpu.utils.config import (
+            CameraConfig, ExtrinsicConfig, SystemConfig as SC, VisualConfig,
+        )
+
+        CAM = dict(fx=120.0, fy=120.0, cx=160.0, cy=48.0,
+                   width=320, height=96)
+        R_sc = np.array(
+            [[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]]
+        )
+        ext = tuple(tuple(float(v) for v in row) + (0.0,) for row in R_sc.T)
+        dcfg = SC(
+            camera=CameraConfig(**CAM),
+            visual=VisualConfig(depth_cloud_cap=16384),
+            extrinsic=ExtrinsicConfig(matrix=ext),
+        )
+
+        def load_images(name, seq):
+            n = seq.n_frames
+            cache = os.path.join(here, "..", f".eval_imgs_{name}.npz")
+            if os.path.exists(cache):
+                data = np.load(cache)
+                return [data[f"i{k}"] for k in range(n)]
+            images = []
+            for k in range(n):
+                Rc, tc = synthetic.camera_from_velodyne_pose(*seq.pose(k))
+                img, _ = synthetic.render_image(seq.scene, Rc, tc, **CAM)
+                images.append(img)
+            np.savez_compressed(
+                cache, **{f"i{k}": im for k, im in enumerate(images)}
+            )
+            return images
+
+        for name, seq in regimes.items():
+            n = seq.n_frames
+            scans = load_scans(name, seq)
+            images = load_images(name, seq)
+            R0, t0 = seq.pose(0)
+            gt = np.stack([R0.T @ (seq.pose(k)[1] - t0) for k in range(n)])
+
+            clp = CamLidarPipeline(dcfg)
+            clouds, cmasks = [], []
+            for s in scans:
+                cf, cm = clp._cam_cloud(np.asarray(s)[:, :3])
+                clouds.append(cf)
+                cmasks.append(cm)
+            cam = cam_ops.Pinhole.from_config(dcfg.camera)
+
+            row = {"regime": name + "_direct", "frames": n}
+            for label, run_ba in (("plain", False), ("ba", True)):
+                dvo = DirectVOChunked(
+                    cam, dcfg.visual, point_cap=2048, run_window_ba=run_ba,
+                )
+                ts_d, qs_d, _ = dvo.run_chunked(
+                    images, clouds, cmasks, chunk=8
+                )
+                _, vt = _map_cam_poses_to_lidar(
+                    jnp.asarray(qs_d), jnp.asarray(ts_d),
+                    clp.T_lidar_cam, clp.T_cam_lidar,
+                )
+                row[f"ate_direct_{label}_m"] = round(
+                    metrics.ate_rmse(np.asarray(vt), gt, align=False), 4
+                )
             rows.append(row)
             print(json.dumps(row), flush=True)
 

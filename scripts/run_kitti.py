@@ -35,7 +35,21 @@ def main() -> None:
                     help="fused camera+lidar mode (CamLidarPipeline): feed "
                     "image_0 alongside the scans, report both trajectories "
                     "(≡ kittiHelper.cpp:91-93,153-162 publishing /image_left "
-                    "into CamLidarProcess)")
+                    "into CamLidarProcess). Combine with --mapping for the "
+                    "reference's full topology (visual + odometry + "
+                    "scan-to-map in one fused program, "
+                    "laserOdometry.cpp:248,308 + laserMapping.cpp:934)")
+    ap.add_argument("--coupled", action="store_true",
+                    help="tightly-coupled cam-lidar: the visual relative "
+                    "pose warm-starts the lidar scan-to-scan GN (the "
+                    "reference's dormant CamLidarProcess.cpp:278-307 "
+                    "coupling). Implies --camera; composes with --mapping")
+    ap.add_argument("--direct", action="store_true",
+                    help="direct photometric VO (Tracker2 + per-keyframe "
+                    "window BA, the reference's dormant "
+                    "Frontend::track_camlidar path) on image_0 + the "
+                    "camera-frame lidar cloud; reports the direct "
+                    "trajectory alongside the lidar one")
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--map-skip", type=int, default=1,
                     help="mapping cadence (≡ mapping_skip_frame; the "
@@ -79,6 +93,10 @@ def main() -> None:
     reader.close()
 
     visual_result = None
+    direct_result = None
+    mapped_result = None
+    if args.coupled or args.direct:
+        args.camera = True
     t0 = time.time()
     if args.camera:
         import dataclasses
@@ -105,13 +123,53 @@ def main() -> None:
             ph, pw = max(0, H - im.shape[0]), max(0, W - im.shape[1])
             images.append(np.pad(im[:H, :W], ((0, ph), (0, pw)), mode="edge"))
         pipe = CamLidarPipeline(cfg)
+        ingest = args.ingest
+        if (args.coupled or args.mapping) and not ingest.startswith("polar"):
+            ingest = "polar"  # the fused coupled/SLAM chunks decode polar
         res = pipe.run_chunked(
-            scans, images, chunk=args.chunk, progress=True, ingest=args.ingest,
+            scans, images, chunk=args.chunk, progress=True, ingest=ingest,
+            coupled=args.coupled, mapping=args.mapping,
+            map_skip=args.map_skip,
         )
         from lidar_visual_odometry_tpu.models.pipeline import TrajectoryResult
 
-        result = TrajectoryResult(res.lidar_positions, res.lidar_quats)
+        if args.mapping:
+            mapped_result = TrajectoryResult(
+                res.mapped_positions, res.mapped_quats
+            )
+            result = mapped_result
+        else:
+            result = TrajectoryResult(res.lidar_positions, res.lidar_quats)
         visual_result = res
+
+        if args.direct:
+            import jax.numpy as jnp
+
+            from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+                _map_cam_poses_to_lidar,
+            )
+            from lidar_visual_odometry_tpu.models.direct_vo import (
+                DirectVOChunked,
+            )
+            from lidar_visual_odometry_tpu.ops import camera as cam_ops
+
+            clouds, cmasks = [], []
+            for s in scans:
+                cf, cm = pipe._cam_cloud(np.asarray(s)[:, :3])
+                clouds.append(cf)
+                cmasks.append(cm)
+            cam = cam_ops.Pinhole.from_config(cfg.camera)
+            dvo = DirectVOChunked(cam, cfg.visual, point_cap=2048)
+            ts_d, qs_d, _ = dvo.run_chunked(
+                images, clouds, cmasks, chunk=args.chunk
+            )
+            dq, dt = _map_cam_poses_to_lidar(
+                jnp.asarray(qs_d), jnp.asarray(ts_d),
+                pipe.T_lidar_cam, pipe.T_cam_lidar,
+            )
+            direct_result = TrajectoryResult(
+                np.asarray(dt), np.asarray(dq)
+            )
     elif args.mapping:
         pipe = FullPipeline(cfg)
         odom, mapped = pipe.run_chunked(
@@ -133,19 +191,41 @@ def main() -> None:
     with open(out_path, "w") as f:
         for T in mats:
             f.write(" ".join(f"{v:.6e}" for v in T[:3].reshape(-1)) + "\n")
+    def write_traj(path, quats, positions):
+        m = poses_to_matrices(quats, positions)
+        with open(path, "w") as f:
+            for T in m:
+                f.write(
+                    " ".join(f"{v:.6e}" for v in T[:3].reshape(-1)) + "\n"
+                )
+
     if visual_result is not None:
-        vis_path = out_path.replace(".txt", "_visual.txt")
-        vmats = poses_to_matrices(
-            visual_result.visual_quats, visual_result.visual_positions
+        write_traj(
+            out_path.replace(".txt", "_visual.txt"),
+            visual_result.visual_quats, visual_result.visual_positions,
         )
-        with open(vis_path, "w") as f:
-            for T in vmats:
-                f.write(" ".join(f"{v:.6e}" for v in T[:3].reshape(-1)) + "\n")
+    if direct_result is not None:
+        write_traj(
+            out_path.replace(".txt", "_direct.txt"),
+            direct_result.quaternions, direct_result.positions,
+        )
+    if args.camera and args.mapping and visual_result is not None:
+        # in the combined topology `result` holds the mapped trajectory;
+        # also write the raw odometry one for per-mode metrics
+        write_traj(
+            out_path.replace(".txt", "_odom.txt"),
+            visual_result.lidar_quats, visual_result.lidar_positions,
+        )
 
     report = {
         "sequence": args.sequence,
         "frames": n,
         "fps": round((n - 1) / wall, 2),
+        "mode": ("coupled" if args.coupled else
+                 "camera" if args.camera else
+                 "mapping" if args.mapping else "odometry")
+                + ("+mapping" if args.camera and args.mapping else "")
+                + ("+direct" if args.direct else ""),
     }
     if seq.gt_poses is not None:
         gt = np.stack([seq.gt_pose_velodyne(k) for k in range(n)])
@@ -161,6 +241,18 @@ def main() -> None:
             report["ate_visual_m"] = round(
                 metrics.ate_rmse(
                     visual_result.visual_positions, gt_rel[:, :3, 3]
+                ), 4,
+            )
+        if args.camera and args.mapping:
+            report["ate_odom_m"] = round(
+                metrics.ate_rmse(
+                    visual_result.lidar_positions, gt_rel[:, :3, 3]
+                ), 4,
+            )
+        if direct_result is not None:
+            report["ate_direct_m"] = round(
+                metrics.ate_rmse(
+                    direct_result.positions, gt_rel[:, :3, 3]
                 ), 4,
             )
         if args.plot:
