@@ -41,8 +41,14 @@ from .lk import _AFF_DAMP
 
 
 def _strip_rows(win: int) -> int:
-    # win+2 template patch + 1 bilinear tap + ≤7 sublane alignment
-    return ((win + 3 + 7) // 8 + 1) * 8
+    # win+2 template patch + 1 bilinear tap + ≤7 sublane alignment, rounded
+    # up to a MULTIPLE OF 32 sublanes: measured on hardware (v5e), a
+    # dynamic pltpu.roll along the sublane axis of a (rows, 256) f32 array
+    # silently corrupts rows when ``rows`` is 24 or 40, and is exact at 32
+    # (win 9/11/13 and 25 tracked 10-50 px off true shift while 15-21,
+    # whose strips were 32 rows, were exact; interpret mode hides it).
+    need = win + 11
+    return -(-need // 32) * 32
 
 
 def _chol6(Hm):
@@ -186,12 +192,14 @@ def _lk_level_kernel(win, iters, eps, affine, H, Hpad, W, fb,
                 # sums + one unrolled 6×6 Cholesky per feature; per
                 # iteration: 6 sums + two triangular solves, all scalars.
                 rr = jnp.float32(r)
+                # Mosaic's tpu.iota is integer-only — build int32 and cast
+                # (f32 iota verifies in interpret mode but fails on TPU)
                 oxg = jax.lax.broadcasted_iota(
-                    jnp.float32, (win, win), 1
-                ) - rr
+                    jnp.int32, (win, win), 1
+                ).astype(jnp.float32) - rr
                 oyg = jax.lax.broadcasted_iota(
-                    jnp.float32, (win, win), 0
-                ) - rr
+                    jnp.int32, (win, win), 0
+                ).astype(jnp.float32) - rr
                 cols = (jx, jy, jx * oxg, jx * oyg, jy * oxg, jy * oyg)
                 Hm = [[None] * 6 for _ in range(6)]
                 for ii in range(6):

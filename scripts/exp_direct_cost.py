@@ -59,6 +59,13 @@ def main():
         ("ba_pts1024", {"ba_points": 1024}),
         ("ba_lvl2", {"ba_level": 2}),
         ("ba_iters2", {"ba_iters": 2}),
+        # level-0 BA: the round-4 accuracy lever (CPU sweep: 0.168 ->
+        # 0.042 m at i4; fewer than 4 iterations leaves the finest-level
+        # solve mid-step and is WORSE than converged level-1)
+        ("ba_lvl0_i4", {"ba_level": 0, "ba_iters": 4}),
+        ("ba_lvl0_i8", {"ba_level": 0, "ba_iters": 8}),
+        ("ba_lvl0_i4_pts1024", {"ba_level": 0, "ba_iters": 4,
+                                "ba_points": 1024}),
     ]
     for name, over in VARIANTS:
         vcfg = dataclasses.replace(cfg0.visual, **over)
