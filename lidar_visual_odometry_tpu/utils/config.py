@@ -200,12 +200,22 @@ class VisualConfig:
     depth_cloud_cap: int = 32768      # padded camera-frame lidar cloud
     keyframe_window: int = 5          # KeyframeWindow size (Frontend.cpp:54)
     ba_iters: int = 4                 # window-BA GN round cap per keyframe
-    ba_level: int = 1                 # window-BA pyramid level (clamped to
+    ba_level: int = 0                 # window-BA pyramid level (clamped to
                                       # pyramid_levels-1); the 20-pair one-hot
-                                      # sampling matmul scales with level area
-    ba_points: int = 0                # 0 = every selected host point per BA
+                                      # sampling matmul scales with level area.
+                                      # Level 0 is the accuracy lever: the r4
+                                      # frontier (exp_direct_cost, BASELINE)
+                                      # measured corridor ATE 0.167 (l1) →
+                                      # 0.041 m (l0) at ba_iters=4; fewer
+                                      # than 4 iterations leaves the finest
+                                      # solve mid-step and is WORSE than a
+                                      # converged coarse level
+    ba_points: int = 1024             # 0 = every selected host point per BA
                                       # pair; n>0 strides each host keyframe's
-                                      # point set down to ~n for BA only
+                                      # point set down to ~n for BA only.
+                                      # 1024 recovers the level-0 fps cost:
+                                      # 45.3 → 73.8 fps at ATE 0.039 m (TPU
+                                      # frontier, BASELINE.md)
     ba_step_tol: float = 1e-5         # BA early-exit |δ|∞ (LSQNonlinear.hpp:56-60)
     patch_pattern: str = "quad"       # 4-px pattern {(1,-1),(1,1),(-1,-1),(-1,1)} (Tracker2.h:41-44)
     tdist_dof: float = 5.0            # t-distribution nu (WeightFunction.cpp:91-95)
