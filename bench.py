@@ -74,6 +74,13 @@ def _config():
         visual=VisualConfig(
             depth_cloud_cap=16384, lk_window=13, lk_levels=3,
             lk_reverse_levels=1,   # shallow warm-started reverse check
+            lk_iters_coarse=4,     # coarse levels only need the basin
+                                   # (+5.6 fps, ATE unchanged — BASELINE
+                                   # cam-lidar trace table)
+            max_tracked=768,       # 1024→768: the LK kernel is 71% of the
+                                   # cam-lidar device budget and scales
+                                   # with features; 768 keeps the corridor
+                                   # ATE (512 doubles it)
         ),
         extrinsic=ExtrinsicConfig(matrix=ext),
     )
@@ -142,11 +149,14 @@ def main():
     ate_mapped = metrics.ate_rmse(map_r.positions, gt)
 
     # ---- 3. combined camera + lidar (fused visual chunk) ----
+    # polar2: the transfer-bound pipeline's 2 B/cell scan ingest (camera
+    # depth clouds decode at cell centers — +4 mm ATE for +7 fps, measured
+    # operating-point table in BASELINE.md round 4)
     CamLidarPipeline(cfg).run_chunked(scans, images, chunk=8,
-                                      ingest="polar")  # warm
+                                      ingest="polar2")  # warm
     cl_fps, cl_r = best_fps(
         lambda: CamLidarPipeline(cfg).run_chunked(
-            scans, images, chunk=8, ingest="polar"
+            scans, images, chunk=8, ingest="polar2"
         )
     )
     R0, t00 = seq.pose(0)
