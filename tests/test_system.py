@@ -582,6 +582,65 @@ class TestCamLidarChunked:
                 qb = -qb
             np.testing.assert_allclose(qa, qb, atol=1e-5)
 
+    def test_full_topology_chunk_matches_full_pipeline(self):
+        """Uncoupled camlidar_slam_chunk (visual + odometry + mapping in one
+        program — the reference's full topology) must reproduce
+        FullPipeline.run_chunked's lidar odometry AND mapped trajectories
+        exactly: the lidar math is untouched by fusing the visual stage in."""
+        from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+            CamLidarPipeline,
+        )
+        from lidar_visual_odometry_tpu.models.pipeline import FullPipeline
+        from lidar_visual_odometry_tpu.utils.config import (
+            CameraConfig, ExtrinsicConfig, LidarConfig, MappingConfig,
+            OdometryConfig, SystemConfig, VisualConfig,
+        )
+
+        R_sc = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+        ext = tuple(tuple(float(v) for v in row) + (0.0,) for row in R_sc.T)
+        CAM = dict(fx=120.0, fy=120.0, cx=160.0, cy=48.0, width=320, height=96)
+        cfg = SystemConfig(
+            lidar=LidarConfig(azimuth_bins=1024),
+            odometry=OdometryConfig(outer_iters=4, gn_iters=4),
+            mapping=MappingConfig(
+                outer_iters=1, gn_iters=2, corner_slot=1024, surf_slot=1024,
+                map_corner_cap=2048, map_surf_cap=2048,
+            ),
+            camera=CameraConfig(**CAM),
+            visual=VisualConfig(
+                gn_iters=20, lk_levels=2, lk_window=9, grid_rows=2,
+                grid_cols=4, max_tracked=64, max_features_per_cell=8,
+                depth_cloud_cap=2048,
+            ),
+            extrinsic=ExtrinsicConfig(matrix=ext),
+        )
+        seq = synthetic.SyntheticSequence(n_frames=4, width=900, noise=0.005)
+        scans, images = [], []
+        for k in range(4):
+            scans.append(seq.scan(k))
+            Rc, tc = synthetic.camera_from_velodyne_pose(*seq.pose(k))
+            img, _ = synthetic.render_image(seq.scene, Rc, tc, **CAM)
+            images.append(img)
+
+        combo = CamLidarPipeline(cfg, capacity=65536).run_chunked(
+            scans, images, chunk=3, ingest="polar", mapping=True,
+        )
+        odom, mapped = FullPipeline(cfg, capacity=65536).run_chunked(
+            scans, chunk=3, ingest="polar",
+        )
+        np.testing.assert_allclose(
+            combo.lidar_positions, odom.positions, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            combo.mapped_positions, mapped.positions, atol=1e-6
+        )
+        # and the mapped trajectory actually refines toward GT
+        R0, t0 = seq.pose(0)
+        gt = np.stack([R0.T @ (seq.pose(k)[1] - t0) for k in range(4)])
+        assert np.linalg.norm(
+            combo.mapped_positions - gt, axis=1
+        ).max() < 0.08
+
     def test_device_cam_cloud_matches_host_selection(self):
         """cam_clouds_from_polar == the host _cam_cloud contract: only
         camera-frontal points (z > 0.3), an even stride down to cap, and
