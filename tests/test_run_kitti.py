@@ -14,6 +14,15 @@ from lidar_visual_odometry_tpu.data import synthetic
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
+#: velodyne→cam0 rotation for the z-forward camera the synthetic renders
+#: use (synthetic.camera_from_velodyne_pose): x_cam = TR_VC @ x_velo.
+#: The original fixture shipped Tr = identity, which points the "camera"
+#: straight up — the visual stages then silently track nothing (their
+#: trajectories freeze at identity), which is exactly the failure mode the
+#: camera tests must catch.
+TR_VC = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+
+
 @pytest.fixture(scope="module")
 def kitti_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("kitti")
@@ -31,9 +40,9 @@ def kitti_root(tmp_path_factory):
         )
         data.tofile(seq_dir / "velodyne" / f"{k:06d}.bin")
         R, t = seq.pose(k)
-        # cam0 pose = velo pose here (Tr = identity)
+        # poses/00.txt stores CAM0 poses: T_w_cam = T_w_velo @ Tr⁻¹
         T = np.eye(4)
-        T[:3, :3] = R
+        T[:3, :3] = R @ TR_VC.T
         T[:3, 3] = t
         poses.append(T)
     np.savetxt(seq_dir / "times.txt", np.arange(n) * 0.1)
@@ -41,7 +50,14 @@ def kitti_root(tmp_path_factory):
         P = "7.070912e+02 0 6.018873e+02 0 0 7.070912e+02 1.831104e+02 0 0 0 1 0"
         for k in ("P0", "P1", "P2", "P3"):
             f.write(f"{k}: {P}\n")
-        f.write("Tr: 1 0 0 0 0 1 0 0 0 0 1 0\n")
+        f.write(
+            "Tr: "
+            + " ".join(
+                f"{v:g}" for v in np.hstack([TR_VC, np.zeros((3, 1))])
+                .reshape(-1)
+            )
+            + "\n"
+        )
     with open(root / "poses" / "00.txt", "w") as f:
         for T in poses:
             f.write(" ".join(f"{v:.6e}" for v in T[:3].reshape(-1)) + "\n")
@@ -72,23 +88,25 @@ def test_cli_produces_trajectory_and_metrics(kitti_root, tmp_path):
 @pytest.fixture(scope="module")
 def kitti_root_with_images(kitti_root):
     """Add an image_0 stream to the synthetic tree (≡ kittiHelper's
-    /image_left, kittiHelper.cpp:91-93)."""
+    /image_left, kittiHelper.cpp:91-93): REAL renders of the same scene
+    from the cam0 poses, so the visual stages have true structure+depth to
+    track (a rolled noise image let frozen-at-identity visual trajectories
+    pass unnoticed)."""
     from PIL import Image
 
     img_dir = kitti_root / "sequences" / "00" / "image_0"
     img_dir.mkdir()
-    rng = np.random.default_rng(7)
-    base = (rng.uniform(0, 255, size=(376, 1241))).astype(np.float32)
-    # smooth it so gradients are sane
-    k = np.ones(9) / 9.0
-    base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, base)
-    base = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, base)
+    seq = synthetic.SyntheticSequence(n_frames=4, width=600, noise=0.005)
+    # kitti_config(0).camera intrinsics (the runner uses these, not calib P)
+    CAM = dict(fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+               width=1241, height=376)
     for i in range(4):
-        # shift per frame so LK has something consistent to track
-        im = np.roll(base, shift=3 * i, axis=1)
-        Image.fromarray(np.clip(im, 0, 255).astype(np.uint8), "L").save(
-            img_dir / f"{i:06d}.png"
-        )
+        R, t = seq.pose(i)
+        Rc, tc = synthetic.camera_from_velodyne_pose(R, t)
+        img, _ = synthetic.render_image(seq.scene, Rc, tc, **CAM)
+        Image.fromarray(
+            np.clip(img * 255, 0, 255).astype(np.uint8), "L"
+        ).save(img_dir / f"{i:06d}.png")
     return kitti_root
 
 
@@ -120,7 +138,14 @@ def test_cli_full_topology_coupled_mapping_direct(kitti_root_with_images,
     assert "ate_direct_m" in report
     for suffix in ("", "_visual", "_odom", "_direct"):
         path = tmp_path / f"traj{suffix}.txt"
-        assert np.loadtxt(path).shape == (4, 12), path
+        traj = np.loadtxt(path)
+        assert traj.shape == (4, 12), path
+        # every estimator must actually MOVE (~1 m/frame GT): a frozen
+        # identity trajectory means the stage silently tracked nothing
+        # (the Tr=identity fixture bug class)
+        assert np.abs(traj[:, [3, 7, 11]]).max() > 0.5, path
+    assert report["ate_visual_m"] < 1.5, report
+    assert report["ate_direct_m"] < 1.5, report
 
 
 def test_cli_camera_mode(kitti_root_with_images, tmp_path):
