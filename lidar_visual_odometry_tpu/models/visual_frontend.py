@@ -258,6 +258,7 @@ def solve_pose(
     has_depth: jax.Array,
     epi_ok: jax.Array,
     cfg: VisualConfig,
+    reduce_fn=None,
 ) -> se3.Pose:
     """The ≤150-iteration GN of Frontend::trackfeature with staged gates and
     the |δ| < gn_tol early-out (Frontend.cpp:401,443-447) as a while_loop.
@@ -269,6 +270,10 @@ def solve_pose(
     rejection, exactly as it would in the reference.
 
     pose0: initial T_cur_prev (previous frame → current frame).
+    reduce_fn: optional (H, g, n_depth, sum_e) -> same — the distributed
+    hook (``parallel/sharded_visual.py`` psums partial sums over the mesh;
+    rows are feature-parallel, so the reduction is the only cross-shard
+    communication, mirroring ``sharded_odometry``).
     """
     epi_stage = 25
     rej_stage = 70
@@ -294,9 +299,7 @@ def solve_pose(
         wd = wd * keep.astype(jnp.float32)
 
         n_depth = jnp.sum(has_depth & keep)
-        mean = jnp.sum(jnp.where(has_depth & keep, e, 0.0)) / (
-            jnp.maximum(n_depth, 1)
-        )
+        sum_e = jnp.sum(jnp.where(has_depth & keep, e, 0.0))
 
         # HIGHEST: the default bf16 MXU passes corrupt this 6×6 Hessian on
         # TPU — measured a finite-but-garbage step that walked the rotation
@@ -313,6 +316,9 @@ def solve_pose(
             + jnp.einsum("n,ni->i", wd * wd * y3, J3, **hp)
             + jnp.einsum("n,ni->i", wd * wd * y4, J4, **hp)
         )
+        if reduce_fn is not None:
+            H, g, n_depth, sum_e = reduce_fn(H, g, n_depth, sum_e)
+        mean = sum_e / jnp.maximum(n_depth, 1)
         delta = gn.solve_damped(H, g, lm_lambda=1e-5)
         # decoupled update (Frontend.cpp:436-441): t += δt, q ← δq·q
         pose = se3.Pose(
