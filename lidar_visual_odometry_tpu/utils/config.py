@@ -262,5 +262,8 @@ def kitti_config(sequence: int = 0, n_scans: int = 64) -> SystemConfig:
     return SystemConfig(
         lidar=LidarConfig(n_scans=n_scans),
         camera=cam,
-        visual=VisualConfig(use_clahe=True),
+        # lk_iters_coarse: coarse pyramid levels only need to land in the
+        # next level's basin — measured free (+12% cam-lidar fps, ATE
+        # unchanged; BASELINE.md round-4 trace table)
+        visual=VisualConfig(use_clahe=True, lk_iters_coarse=4),
     )
