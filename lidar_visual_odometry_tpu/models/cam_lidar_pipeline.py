@@ -227,10 +227,13 @@ def camlidar_coupled_chunk(
     return odo_state, vis_state, se3.Pose(lq, lt), se3.Pose(vq, vt)
 
 
-def _visual_prior_gate(odo, rel_cam, T_lidar_cam, T_cam_lidar,
-                       max_prior_step: float):
+def visual_prior_gate(fallback_rel: se3.Pose, rel_cam, T_lidar_cam,
+                      T_cam_lidar, max_prior_step: float):
     """Map the visual relative pose into the lidar frame and gate it for
-    plausibility (shared by the coupled chunks; see camlidar_coupled_chunk)."""
+    plausibility (shared by the coupled chunks AND the distributed
+    composition, parallel/distributed_camlidar.py; see
+    camlidar_coupled_chunk). ``fallback_rel`` is the constant-velocity
+    prior the gate falls back to (the previous frame's relative pose)."""
     prior = se3.se3_compose(
         T_lidar_cam,
         se3.se3_compose(se3.se3_inverse(rel_cam), T_cam_lidar),
@@ -243,8 +246,15 @@ def _visual_prior_gate(odo, rel_cam, T_lidar_cam, T_cam_lidar,
         & jnp.all(jnp.isfinite(prior.q))
     )
     return se3.Pose(
-        jnp.where(ok, prior.q, odo.pose_rel.q),
-        jnp.where(ok, prior.t, odo.pose_rel.t),
+        jnp.where(ok, prior.q, fallback_rel.q),
+        jnp.where(ok, prior.t, fallback_rel.t),
+    )
+
+
+def _visual_prior_gate(odo, rel_cam, T_lidar_cam, T_cam_lidar,
+                       max_prior_step: float):
+    return visual_prior_gate(
+        odo.pose_rel, rel_cam, T_lidar_cam, T_cam_lidar, max_prior_step
     )
 
 
@@ -450,7 +460,11 @@ class CamLidarPipeline:
                     ingest: str = "uint16",
                     coupled: bool = False,
                     mapping: bool = False,
-                    map_skip: int = 1) -> CamLidarResult:
+                    map_skip: int = 1,
+                    checkpoint_path: str | None = None,
+                    checkpoint_every: int = 0,
+                    resume: bool = False,
+                    stop_after: int | None = None) -> CamLidarResult:
         """The fused fast path: per chunk ONE lidar device program
         (odometry_chunk_quantized / _polar) + ONE visual device program
         (visual_frontend.visual_chunk), both dispatched asynchronously —
@@ -482,19 +496,43 @@ class CamLidarPipeline:
 
             map_state = dm.init_state(self.cfg.mapping)
 
-        # frame 0 bootstraps both carried states
-        raw0 = np.asarray(scans[0])[:, :3]
-        xyz0, mask0 = pc.pad_points(raw0, self.capacity)
-        reg0 = sr.register_scan(
-            jnp.asarray(xyz0), jnp.asarray(mask0), self.cfg.lidar
-        )
-        odo_state = lo.init_state(reg0.features)
-        cxyz0, cmask0 = self._cam_cloud(raw0)
-        vis_state = vf.init_chunk_state(
-            jnp.asarray(np.asarray(images[0], np.float32)),
-            jnp.asarray(cxyz0), jnp.asarray(cmask0),
-            self.cam, self.cfg.visual,
-        )
+        # Checkpoint/resume at chunk boundaries (VERDICT r4 next #2): all
+        # carried device states (odometry features, VisualChunkState, map
+        # pytree) plus the raw accumulated trajectories snapshot to one npz;
+        # a resumed run replays the identical device programs on identical
+        # state — bit-exact continuation (tests/test_run_kitti.py).
+        prefix = None
+        if resume:
+            from ..utils import checkpoint as ckpt
+
+            start, odo_state, _, _ = ckpt.load_checkpoint(checkpoint_path)
+            vis_state, _ = ckpt.load_chunk_states(checkpoint_path)
+            data = np.load(checkpoint_path)
+            prefix = {
+                k: np.asarray(data[k]) for k in
+                ("traj_l_q", "traj_l_t", "traj_v_q", "traj_v_t")
+            }
+            if mapping:
+                map_state = ckpt.load_map_state(
+                    checkpoint_path, map_state
+                )
+                prefix["traj_m_q"] = np.asarray(data["traj_m_q"])
+                prefix["traj_m_t"] = np.asarray(data["traj_m_t"])
+        else:
+            # frame 0 bootstraps both carried states
+            raw0 = np.asarray(scans[0])[:, :3]
+            xyz0, mask0 = pc.pad_points(raw0, self.capacity)
+            reg0 = sr.register_scan(
+                jnp.asarray(xyz0), jnp.asarray(mask0), self.cfg.lidar
+            )
+            odo_state = lo.init_state(reg0.features)
+            cxyz0, cmask0 = self._cam_cloud(raw0)
+            vis_state = vf.init_chunk_state(
+                jnp.asarray(np.asarray(images[0], np.float32)),
+                jnp.asarray(cxyz0), jnp.asarray(cmask0),
+                self.cam, self.cfg.visual,
+            )
+            start = 1
 
         t0 = time.time()
         # per chunk: pack (host) → upload → async dispatch of BOTH device
@@ -504,7 +542,9 @@ class CamLidarPipeline:
         lcfg = self.cfg.lidar
         lq, lt, vq, vt = [], [], [], []
         mapq, mapt = [], []
-        for s in range(1, n, chunk):
+        n_done = n
+        last_saved = start
+        for s in range(start, n, chunk):
             batch = list(range(s, min(s + chunk, n)))
             polar = ingest.startswith("polar")
             # uint8 image upload (¼ bytes over the tunnel; dequantized on
@@ -600,23 +640,74 @@ class CamLidarPipeline:
             lt.append(poses_l.t)
             vq.append(poses_c.q)
             vt.append(poses_c.t)
+            next_s = min(s + chunk, n)
+            stop = stop_after is not None and next_s > stop_after
+            if checkpoint_path and checkpoint_every > 0 and (
+                next_s - last_saved >= checkpoint_every or stop
+            ):
+                from ..utils import checkpoint as ckpt
+
+                done = next_s - 1  # valid rows in the raw accumulations
+
+                def fetch(xs, pk):
+                    got = np.asarray(_cat(xs))
+                    if prefix is not None:
+                        got = np.concatenate([prefix[pk], got])
+                    return got[:done]
+
+                extra = {
+                    "traj_l_q": fetch(lq, "traj_l_q"),
+                    "traj_l_t": fetch(lt, "traj_l_t"),
+                    "traj_v_q": fetch(vq, "traj_v_q"),
+                    "traj_v_t": fetch(vt, "traj_v_t"),
+                }
+                if mapping:
+                    extra["traj_m_q"] = fetch(mapq, "traj_m_q")
+                    extra["traj_m_t"] = fetch(mapt, "traj_m_t")
+                ckpt.save_checkpoint(
+                    checkpoint_path, frame_idx=next_s, odom_state=odo_state,
+                    trajectory_q=extra["traj_l_q"],
+                    trajectory_t=extra["traj_l_t"],
+                    visual_chunk=vis_state,
+                    map_state=map_state if mapping else None,
+                    extra=extra,
+                )
+                last_saved = next_s
+            if stop:
+                n_done = next_s
+                break
         # fetch all trajectories in 4 D2H transfers (not 4 per chunk: each
         # np.asarray is an RPC round trip on the tunnel) and map camera-world
         # poses to the lidar frame in ONE batched jitted call — a per-frame
         # host loop of tiny un-jitted composes was the hidden 60% of this
         # method's wall time (CamLidarProcess.cpp:284-293 does it per
         # callback; here it is a batch epilogue)
+        def gather(xs, pk, width):
+            """Raw accumulation rows (frames 1..n_done), prefix-aware."""
+            got = (np.asarray(_cat(xs)) if xs
+                   else np.zeros((0, width), np.float32))
+            if prefix is not None:
+                got = np.concatenate([prefix[pk], got])
+            return got
+
+        if prefix is None:  # stay on device — no extra RPC round trips
+            dev_vq, dev_vt = _cat(vq), _cat(vt)
+        else:
+            dev_vq = jnp.asarray(gather(vq, "traj_v_q", 4))
+            dev_vt = jnp.asarray(gather(vt, "traj_v_t", 3))
         mq, mt = _map_cam_poses_to_lidar(
-            _cat(vq), _cat(vt), self.T_lidar_cam, self.T_cam_lidar,
+            dev_vq, dev_vt, self.T_lidar_cam, self.T_cam_lidar,
         )
-        lidar_q_d, lidar_t_d = _cat(lq), _cat(lt)
+        n = n_done
+        lidar_q_d = gather(lq, "traj_l_q", 4)
+        lidar_t_d = gather(lt, "traj_l_t", 3)
         vis_q, vis_t = np.asarray(mq)[:n - 1], np.asarray(mt)[:n - 1]
         wall = time.time() - t0
 
         ident_q = np.array([[1.0, 0, 0, 0]], np.float32)
         zero_t = np.zeros((1, 3), np.float32)
-        lidar_q = np.concatenate([ident_q, np.asarray(lidar_q_d)])[:n]
-        lidar_t = np.concatenate([zero_t, np.asarray(lidar_t_d)])[:n]
+        lidar_q = np.concatenate([ident_q, lidar_q_d])[:n]
+        lidar_t = np.concatenate([zero_t, lidar_t_d])[:n]
         # frame 0 visual pose = identity mapped through the extrinsic chain
         # (== identity, since T_lidar_cam ∘ I ∘ T_cam_lidar = I)
         vis_q = np.concatenate([ident_q, vis_q])[:n]
@@ -624,9 +715,9 @@ class CamLidarPipeline:
         mapped_q = mapped_t = None
         if mapping:
             mapped_q = np.concatenate(
-                [ident_q, np.asarray(_cat(mapq))])[:n]
+                [ident_q, gather(mapq, "traj_m_q", 4)])[:n]
             mapped_t = np.concatenate(
-                [zero_t, np.asarray(_cat(mapt))])[:n]
+                [zero_t, gather(mapt, "traj_m_t", 3)])[:n]
 
         if progress:
             print(f"cam-lidar fused: {n} frames in {wall:.2f}s "

@@ -290,10 +290,17 @@ class DirectVOChunked:
         self.point_cap = point_cap
 
     def run_chunked(self, images, clouds, cloud_masks, chunk: int = 8,
-                    progress: bool = False):
+                    progress: bool = False,
+                    checkpoint_path: str | None = None,
+                    checkpoint_every: int = 0,
+                    resume: bool = False, stop_after: int | None = None):
         """images: list of (H, W) float [0,1] or uint8; clouds: list of
         (P, 3) float32 camera-frame points; cloud_masks: list of (P,) bool.
-        Returns (positions (N, 3), quaternions (N, 4), wall seconds)."""
+        Returns (positions (N, 3), quaternions (N, 4), wall seconds).
+
+        checkpoint_every/checkpoint_path snapshot the DirectChunkState +
+        trajectory at chunk boundaries (utils/checkpoint.py); resume=True
+        continues bit-exactly from the snapshot (VERDICT r4 next #2)."""
         import time
 
         from .lidar_odometry import QUANT_OFFSET, QUANT_SCALE
@@ -303,15 +310,27 @@ class DirectVOChunked:
         im0 = np.asarray(images[0], np.float32)
         if im0.dtype == np.uint8 or im0.max() > 1.5:
             im0 = im0 / 255.0
-        state = init_direct_state(
-            jnp.asarray(im0), jnp.asarray(clouds[0]),
-            jnp.asarray(cloud_masks[0]), self.cam, self.cfg,
-            point_cap=self.point_cap,
-        )
+        prefix = None
+        if resume:
+            from ..utils import checkpoint as ckpt
+
+            data = np.load(checkpoint_path)
+            start = int(data["frame_idx"])
+            prefix = (np.asarray(data["traj_q"]), np.asarray(data["traj_t"]))
+            _, state = ckpt.load_chunk_states(checkpoint_path)
+        else:
+            state = init_direct_state(
+                jnp.asarray(im0), jnp.asarray(clouds[0]),
+                jnp.asarray(cloud_masks[0]), self.cam, self.cfg,
+                point_cap=self.point_cap,
+            )
+            start = 1
 
         t0 = time.time()
         qs_chunks, ts_chunks = [], []
-        for s in range(1, n, chunk):
+        n_done = n
+        last_saved = start
+        for s in range(start, n, chunk):
             batch = list(range(s, min(s + chunk, n)))
             imgs = np.zeros((chunk, *im0.shape), np.uint8)
             qpts = np.zeros((chunk, P, 3), np.uint16)
@@ -333,14 +352,44 @@ class DirectVOChunked:
             )
             qs_chunks.append(poses.q)
             ts_chunks.append(poses.t)
+            next_s = min(s + chunk, n)
+            stop = stop_after is not None and next_s > stop_after
+            if checkpoint_path and checkpoint_every > 0 and (
+                next_s - last_saved >= checkpoint_every or stop
+            ):
+                from ..utils import checkpoint as ckpt
+                from .cam_lidar_pipeline import _cat as _catd
+
+                done = next_s - 1
+                tq = np.asarray(_catd(qs_chunks))
+                tt = np.asarray(_catd(ts_chunks))
+                if prefix is not None:
+                    tq = np.concatenate([prefix[0], tq])
+                    tt = np.concatenate([prefix[1], tt])
+                ckpt.save_checkpoint(
+                    checkpoint_path, frame_idx=next_s,
+                    trajectory_q=tq[:done], trajectory_t=tt[:done],
+                    direct_chunk=state,
+                )
+                last_saved = next_s
+            if stop:
+                n_done = next_s
+                break
         # ONE concatenating device program + one D2H per array: fetching each
         # chunk separately was 2 RPC round trips per chunk (~30 ms each over
         # the tunnel) serialized at the end of the run — ~0.3 s of the
         # 48-frame wall clock (same epilogue as cam_lidar_pipeline._cat)
         from .cam_lidar_pipeline import _cat
 
-        qs = np.asarray(_cat(qs_chunks))[:n - 1]
-        ts = np.asarray(_cat(ts_chunks))[:n - 1]
+        n = n_done
+        qs = (np.asarray(_cat(qs_chunks)) if qs_chunks
+              else np.zeros((0, 4), np.float32))
+        ts = (np.asarray(_cat(ts_chunks)) if ts_chunks
+              else np.zeros((0, 3), np.float32))
+        if prefix is not None:
+            qs = np.concatenate([prefix[0], qs])
+            ts = np.concatenate([prefix[1], ts])
+        qs, ts = qs[:n - 1], ts[:n - 1]
         wall = time.time() - t0
 
         ident = np.array([[1.0, 0, 0, 0]], np.float32)

@@ -75,6 +75,8 @@ class OdometryPipeline:
     def run_chunked(
         self, scans, chunk: int = 8, progress: bool = False,
         quantize: bool = False, ingest: str | None = None,
+        checkpoint_path: str | None = None, checkpoint_every: int = 0,
+        resume: bool = False, stop_after: int | None = None,
     ) -> TrajectoryResult:
         """Batch-process the sequence in K-frame device programs
         (lidar_odometry.odometry_chunk): one dispatch per chunk instead of
@@ -99,10 +101,56 @@ class OdometryPipeline:
             ingest = "uint16" if quantize else "float"
         lcfg = self.cfg.lidar
 
-        # frame 0 initializes the feature state
-        xyz0, mask0 = pc.pad_points(np.asarray(scans[0])[:, :3], self.capacity)
-        reg0 = sr.register_scan(jnp.asarray(xyz0), jnp.asarray(mask0), lcfg)
-        state = lo.init_state(reg0.features)
+        # Checkpoint/resume (VERDICT r4 next #2): snapshots land at chunk
+        # boundaries so a resumed run replays the exact same device programs
+        # on the exact same carried state — bit-exact continuation. The
+        # reference loses everything on a crash (SURVEY §5).
+        prefix_q = prefix_t = None
+        if resume:
+            from ..utils import checkpoint as ckpt
+
+            start, state, prefix_q, prefix_t = ckpt.load_checkpoint(
+                checkpoint_path
+            )
+            prefix_q, prefix_t = np.asarray(prefix_q), np.asarray(prefix_t)
+        else:
+            # frame 0 initializes the feature state
+            xyz0, mask0 = pc.pad_points(
+                np.asarray(scans[0])[:, :3], self.capacity
+            )
+            reg0 = sr.register_scan(jnp.asarray(xyz0), jnp.asarray(mask0),
+                                    lcfg)
+            state = lo.init_state(reg0.features)
+            start = 1
+
+        def maybe_checkpoint(next_s, chunks_q, chunks_t):
+            """Write a snapshot covering frames [0, next_s); returns True
+            when the run should stop (``stop_after`` reached)."""
+            if checkpoint_path and checkpoint_every > 0 and (
+                next_s - maybe_checkpoint.last >= checkpoint_every
+                or (stop_after is not None and next_s > stop_after)
+            ):
+                from ..utils import checkpoint as ckpt
+
+                got_q = np.asarray(_cat(chunks_q)) if chunks_q else \
+                    np.zeros((0, 4), np.float32)
+                got_t = np.asarray(_cat(chunks_t)) if chunks_t else \
+                    np.zeros((0, 3), np.float32)
+                if prefix_q is not None:
+                    tq = np.concatenate([prefix_q, got_q])
+                    tt = np.concatenate([prefix_t, got_t])
+                else:
+                    tq = np.concatenate(
+                        [[np.array([1.0, 0, 0, 0], np.float32)], got_q])
+                    tt = np.concatenate([np.zeros((1, 3), np.float32), got_t])
+                ckpt.save_checkpoint(
+                    checkpoint_path, frame_idx=next_s, odom_state=state,
+                    trajectory_q=tq[:next_s], trajectory_t=tt[:next_s],
+                )
+                maybe_checkpoint.last = next_s
+            return stop_after is not None and next_s > stop_after
+
+        maybe_checkpoint.last = start
 
         t0 = time.time()
         # per chunk: pack (host numpy) → upload → dispatch (async). Because
@@ -114,7 +162,8 @@ class OdometryPipeline:
         # every dispatch reuses the one compiled K=chunk program (a second
         # remote XLA compile costs minutes); padded outputs are dropped below
         chunks_q, chunks_t = [], []
-        for s in range(1, len(scans), chunk):
+        n_done = len(scans)
+        for s in range(start, len(scans), chunk):
             batch = scans[s:s + chunk]
             if ingest.startswith("polar"):
                 from ..data.native_pack import pack_polar_chunk
@@ -153,12 +202,26 @@ class OdometryPipeline:
                 )
             chunks_q.append(poses.q)
             chunks_t.append(poses.t)
-        all_q, all_t = np.asarray(_cat(chunks_q)), np.asarray(_cat(chunks_t))
+            if maybe_checkpoint(min(s + chunk, len(scans)), chunks_q,
+                                chunks_t):
+                n_done = min(s + chunk, len(scans))
+                break
+        if chunks_q:
+            all_q = np.asarray(_cat(chunks_q))
+            all_t = np.asarray(_cat(chunks_t))
+        else:
+            all_q = np.zeros((0, 4), np.float32)
+            all_t = np.zeros((0, 3), np.float32)
         wall = time.time() - t0
 
-        n = len(scans)
-        qs = np.concatenate([[np.array([1.0, 0, 0, 0], np.float32)], all_q])[:n]
-        ts = np.concatenate([[np.zeros(3, np.float32)], all_t])[:n]
+        n = n_done
+        if prefix_q is not None:
+            qs = np.concatenate([prefix_q, all_q])[:n]
+            ts = np.concatenate([prefix_t, all_t])[:n]
+        else:
+            qs = np.concatenate(
+                [[np.array([1.0, 0, 0, 0], np.float32)], all_q])[:n]
+            ts = np.concatenate([[np.zeros(3, np.float32)], all_t])[:n]
         if progress:
             print(f"{n} frames in {wall:.2f}s → {(n - 1)/wall:.1f} fps")
         return TrajectoryResult(ts, qs, per_frame_s=[wall / (n - 1)] * n)
@@ -236,7 +299,10 @@ class FullPipeline:
         return to_result(odom_poses), to_result(mapped_poses)
 
     def run_chunked(self, scans, chunk: int = 8, progress: bool = False,
-                    map_skip: int | None = None, ingest: str = "uint16"):
+                    map_skip: int | None = None, ingest: str = "uint16",
+                    checkpoint_path: str | None = None,
+                    checkpoint_every: int = 0,
+                    resume: bool = False, stop_after: int | None = None):
         """The fused fast path: K frames of register → scan-to-scan →
         scan-to-map → map insert per device program
         (device_mapping.slam_chunk_quantized). Requires device_map=True.
@@ -256,12 +322,31 @@ class FullPipeline:
 
         assert self.device_map, "run_chunked requires the device-resident map"
 
-        xyz0, mask0 = pc.pad_points(np.asarray(scans[0])[:, :3], self.capacity)
-        reg0 = sr.register_scan(
-            jnp.asarray(xyz0), jnp.asarray(mask0), self.cfg.lidar
-        )
-        odo_state = lo.init_state(reg0.features)
-        map_state = dm.init_state(self.cfg.mapping)
+        # Checkpoint/resume at chunk boundaries (see
+        # OdometryPipeline.run_chunked): the map-state pytree rides along so
+        # the resumed run continues against the same device voxel map.
+        prefix = None
+        if resume:
+            from ..utils import checkpoint as ckpt
+
+            start, odo_state, pq, pt = ckpt.load_checkpoint(checkpoint_path)
+            map_state = ckpt.load_map_state(
+                checkpoint_path, dm.init_state(self.cfg.mapping)
+            )
+            data = np.load(checkpoint_path)
+            prefix = (np.asarray(pq), np.asarray(pt),
+                      np.asarray(data["traj_map_q"]),
+                      np.asarray(data["traj_map_t"]))
+        else:
+            xyz0, mask0 = pc.pad_points(
+                np.asarray(scans[0])[:, :3], self.capacity
+            )
+            reg0 = sr.register_scan(
+                jnp.asarray(xyz0), jnp.asarray(mask0), self.cfg.lidar
+            )
+            odo_state = lo.init_state(reg0.features)
+            map_state = dm.init_state(self.cfg.mapping)
+            start = 1
 
         t0 = time.time()
         if map_skip is None:
@@ -272,7 +357,9 @@ class FullPipeline:
         # program for every dispatch; padded outputs are dropped below
         lcfg = self.cfg.lidar
         chunks = []
-        for ci, s in enumerate(range(1, len(scans), chunk)):
+        n_done = len(scans)
+        last_saved = start
+        for s in range(start, len(scans), chunk):
             batch = scans[s:s + chunk]
             if ingest.startswith("polar"):
                 from ..data.native_pack import pack_polar_chunk
@@ -285,7 +372,7 @@ class FullPipeline:
                 odo_state, map_state, op, mp = dm.slam_chunk_polar(
                     odo_state, map_state, jnp.asarray(imgs),
                     lcfg, self.cfg.odometry, self.cfg.mapping,
-                    start_idx=1 + ci * chunk, map_skip=map_skip,
+                    start_idx=s, map_skip=map_skip,
                 )
             else:
                 qs = np.zeros((chunk, self.capacity, 3), np.uint16)
@@ -297,17 +384,59 @@ class FullPipeline:
                 odo_state, map_state, op, mp = dm.slam_chunk_quantized(
                     odo_state, map_state, jnp.asarray(qs), jnp.asarray(counts),
                     lcfg, self.cfg.odometry, self.cfg.mapping,
-                    start_idx=1 + ci * chunk, map_skip=map_skip,
+                    start_idx=s, map_skip=map_skip,
                 )
             chunks.append((op.q, op.t, mp.q, mp.t))
-        fetched = [np.asarray(_cat([c[i] for c in chunks])) for i in range(4)]
+            next_s = min(s + chunk, len(scans))
+            stop = stop_after is not None and next_s > stop_after
+            if checkpoint_path and checkpoint_every > 0 and (
+                next_s - last_saved >= checkpoint_every or stop
+            ):
+                from ..utils import checkpoint as ckpt
+
+                got = [np.asarray(_cat([c[i] for c in chunks]))
+                       for i in range(4)]
+                iq = np.array([[1.0, 0, 0, 0]], np.float32)
+                zt = np.zeros((1, 3), np.float32)
+                if prefix is not None:
+                    tq, tt, tmq, tmt = (
+                        np.concatenate([p, g])
+                        for p, g in zip(prefix, (got[0], got[1],
+                                                 got[2], got[3]))
+                    )
+                else:
+                    tq = np.concatenate([iq, got[0]])
+                    tt = np.concatenate([zt, got[1]])
+                    tmq = np.concatenate([iq, got[2]])
+                    tmt = np.concatenate([zt, got[3]])
+                ckpt.save_checkpoint(
+                    checkpoint_path, frame_idx=next_s, odom_state=odo_state,
+                    trajectory_q=tq[:next_s], trajectory_t=tt[:next_s],
+                    map_state=map_state,
+                    extra={"traj_map_q": tmq[:next_s],
+                           "traj_map_t": tmt[:next_s]},
+                )
+                last_saved = next_s
+            if stop:
+                n_done = next_s
+                break
+        if chunks:
+            fetched = [np.asarray(_cat([c[i] for c in chunks]))
+                       for i in range(4)]
+        else:
+            fetched = [np.zeros((0, 4), np.float32),
+                       np.zeros((0, 3), np.float32)] * 2
         wall = time.time() - t0
 
-        n = len(scans)
+        n = n_done
         ident_q = np.array([[1.0, 0, 0, 0]], np.float32)
         zero_t = np.zeros((1, 3), np.float32)
 
         def cat(first, i):
+            # prefix tuple order == fetched order: (odom q, odom t,
+            # map q, map t)
+            if prefix is not None:
+                return np.concatenate([prefix[i], fetched[i]])[:n]
             return np.concatenate([first, fetched[i]])[:n]
 
         per = [wall / (n - 1)] * n

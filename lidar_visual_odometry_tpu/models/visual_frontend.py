@@ -395,21 +395,19 @@ def _replenish(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def solve_and_update(
+def depth_gates(
     uv1: jax.Array,
     ok: jax.Array,
     prev_dc: DepthCloud,
     table: FeatureTable,
     pose_w: se3.Pose,
-    warm_rel: se3.Pose,
     cam,
-    cfg: VisualConfig,
-) -> tuple[FeatureTable, se3.Pose, se3.Pose]:
-    """Post-tracking frame update: depth association, triangulation, pose GN,
-    state propagation. Split from tracking/replenishment so each piece is a
-    small independently-compiled program (monolithic visual graphs take
-    pathologically long on some XLA backends)."""
+):
+    """Depth association + triangulation fusion + residual-set gating for
+    one tracked frame (steps 2-3 of ``Frontend::trackfeature``,
+    Frontend.cpp:237-381). Row-wise pure — the sharded visual step runs it
+    per feature shard (parallel/sharded_visual.py); ``solve_and_update``
+    runs it whole. Returns (active, un0, un1, depth, has_depth, epi_ok)."""
     from ..ops import camera as cam_ops
 
     active = table.active & ok
@@ -443,10 +441,23 @@ def solve_and_update(
     v2_flag = ~ok_lidar & (ok_tri | has_prev)
     has_depth = (v1_flag | v2_flag) & active & (depth > 0)
     epi_ok = (~v1_flag) & active      # v ∈ {0, 2} rows feed the epipolar set
+    return active, un0, un1, depth, has_depth, epi_ok
 
-    # 4. pose solve (T_cur_prev), warm-started
-    rel = solve_pose(warm_rel, un0, un1, depth, has_depth, epi_ok, cfg)
 
+def apply_solution(
+    uv1: jax.Array,
+    table: FeatureTable,
+    active: jax.Array,
+    un0: jax.Array,
+    depth: jax.Array,
+    has_depth: jax.Array,
+    rel: se3.Pose,
+    pose_w: se3.Pose,
+) -> tuple[FeatureTable, se3.Pose]:
+    """Steps 5-6 of the frame update given a solved relative pose: world
+    integration + depth propagation + feature-table roll. Split out so a
+    pose solved ELSEWHERE (the psum-reduced sharded solve) can drive the
+    identical replicated state update (parallel/distributed_camlidar.py)."""
     # 5. integrate Tw ← Tw ∘ T_prev_cur (Frontend.cpp:461-462)
     new_pose_w = se3.se3_compose(pose_w, se3.se3_inverse(rel))
 
@@ -469,7 +480,55 @@ def solve_and_update(
         # next frame's LK warm start; inactive rows reset to the cold start
         flow=jnp.where(active[:, None], uv1 - table.uv, 0.0),
     )
+    return table, new_pose_w
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_and_update(
+    uv1: jax.Array,
+    ok: jax.Array,
+    prev_dc: DepthCloud,
+    table: FeatureTable,
+    pose_w: se3.Pose,
+    warm_rel: se3.Pose,
+    cam,
+    cfg: VisualConfig,
+) -> tuple[FeatureTable, se3.Pose, se3.Pose]:
+    """Post-tracking frame update: depth association, triangulation, pose GN,
+    state propagation. Split from tracking/replenishment so each piece is a
+    small independently-compiled program (monolithic visual graphs take
+    pathologically long on some XLA backends)."""
+    active, un0, un1, depth, has_depth, epi_ok = depth_gates(
+        uv1, ok, prev_dc, table, pose_w, cam
+    )
+
+    # 4. pose solve (T_cur_prev), warm-started
+    rel = solve_pose(warm_rel, un0, un1, depth, has_depth, epi_ok, cfg)
+
+    table, new_pose_w = apply_solution(
+        uv1, table, active, un0, depth, has_depth, rel, pose_w
+    )
     return table, rel, new_pose_w
+
+
+def update_after_external_solve(
+    uv1: jax.Array,
+    ok: jax.Array,
+    prev_dc: DepthCloud,
+    table: FeatureTable,
+    pose_w: se3.Pose,
+    rel: se3.Pose,
+    cam,
+) -> tuple[FeatureTable, se3.Pose]:
+    """Replicated state update for a relative pose solved by the SHARDED
+    visual step: recomputes the (cheap, row-wise) gates and applies the
+    identical table/pose propagation as ``solve_and_update``."""
+    active, un0, _, depth, has_depth, _ = depth_gates(
+        uv1, ok, prev_dc, table, pose_w, cam
+    )
+    return apply_solution(
+        uv1, table, active, un0, depth, has_depth, rel, pose_w
+    )
 
 
 def visual_step(

@@ -206,9 +206,10 @@ def _lk_level_kernel(win, iters, eps, affine, H, Hpad, W, fb,
                     for jj in range(ii + 1):
                         v = jnp.sum(cols[ii] * cols[jj])
                         if ii == jj:
-                            # 10% relative damping on the affine block
-                            # (ops/lk._track_level affine mode — keep the
-                            # two paths numerically aligned)
+                            # relative damping on the affine block, value
+                            # shared via _AFF_DAMP (= lk._AFF_DAMP = 0.03;
+                            # lambda sweep in BASELINE.md — keep the two
+                            # paths numerically aligned)
                             if ii >= 2:
                                 v = v * (1.0 + _AFF_DAMP)
                             v = v + 1e-6
@@ -243,6 +244,11 @@ def _lk_level_kernel(win, iters, eps, affine, H, Hpad, W, fb,
                     (jnp.int32(0), dx0, dy0, z, z, z, z,
                      jnp.float32(jnp.inf)),
                 )
+                # Mirror the XLA path (lk.py zeroes Hinv when not ok): a
+                # degenerate template must return the untouched guess, not
+                # whatever the damped Cholesky iterated to.
+                dx = jnp.where(ok, dx, dx0)
+                dy = jnp.where(ok, dy, dy0)
             out_ref[f, 0] = dx
             out_ref[f, 1] = dy
             out_ref[f, 2] = ok.astype(jnp.float32)

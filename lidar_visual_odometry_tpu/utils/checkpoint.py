@@ -52,7 +52,7 @@ def save_checkpoint(
     path: str,
     *,
     frame_idx: int,
-    odom_state: OdometryState,
+    odom_state: OdometryState | None = None,
     trajectory_q: np.ndarray,
     trajectory_t: np.ndarray,
     mapper=None,
@@ -60,6 +60,8 @@ def save_checkpoint(
     visual=None,
     visual_chunk=None,
     direct_chunk=None,
+    map_state=None,
+    extra: dict | None = None,
 ) -> None:
     """Snapshot to one npz. ``mapper``: host ``LidarMapping`` (cube store);
     ``device_mapper``: ``DeviceMapping`` (bounded voxel map — the flagship
@@ -70,15 +72,16 @@ def save_checkpoint(
     resumable through these two (VERDICT r3 missing #3)."""
     out: dict = {
         "frame_idx": np.asarray(frame_idx),
-        "pose_w_q": np.asarray(odom_state.pose_w.q),
-        "pose_w_t": np.asarray(odom_state.pose_w.t),
-        "pose_rel_q": np.asarray(odom_state.pose_rel.q),
-        "pose_rel_t": np.asarray(odom_state.pose_rel.t),
         "traj_q": np.asarray(trajectory_q),
         "traj_t": np.asarray(trajectory_t),
     }
-    _flatten_fc("prev_ls", odom_state.prev_less_sharp, out)
-    _flatten_fc("prev_lf", odom_state.prev_less_flat, out)
+    if odom_state is not None:
+        out["pose_w_q"] = np.asarray(odom_state.pose_w.q)
+        out["pose_w_t"] = np.asarray(odom_state.pose_w.t)
+        out["pose_rel_q"] = np.asarray(odom_state.pose_rel.q)
+        out["pose_rel_t"] = np.asarray(odom_state.pose_rel.t)
+        _flatten_fc("prev_ls", odom_state.prev_less_sharp, out)
+        _flatten_fc("prev_lf", odom_state.prev_less_flat, out)
 
     if mapper is not None:
         out["map_corr_q"] = np.asarray(mapper.correction.q)
@@ -121,6 +124,17 @@ def save_checkpoint(
     if direct_chunk is not None:
         out["dchunk_levels"] = np.asarray(len(direct_chunk.pyrs))
         _save_tree("dchunk", direct_chunk, out)
+
+    if map_state is not None:
+        # raw device-mapping pytree (device_mapping.init_state shape), the
+        # form the fused chunked drivers carry — no DeviceMapping wrapper
+        _save_tree("mapst", map_state, out)
+
+    if extra:
+        # caller-named companion arrays (e.g. the mapped / visual / direct
+        # trajectories the runner accumulates alongside the odometry one)
+        for k, v in extra.items():
+            out[k] = np.asarray(v)
     np.savez_compressed(path, **out)
 
 
@@ -128,14 +142,19 @@ def load_checkpoint(path: str, mapper=None, device_mapper=None, visual=None):
     """Returns (frame_idx, OdometryState, traj_q, traj_t); restores
     ``mapper`` / ``device_mapper`` / ``visual`` in place when given."""
     data = np.load(path)
-    state = OdometryState(
-        pose_w=se3.Pose(jnp.asarray(data["pose_w_q"]), jnp.asarray(data["pose_w_t"])),
-        pose_rel=se3.Pose(
-            jnp.asarray(data["pose_rel_q"]), jnp.asarray(data["pose_rel_t"])
-        ),
-        prev_less_sharp=_unflatten_fc("prev_ls", data),
-        prev_less_flat=_unflatten_fc("prev_lf", data),
-    )
+    state = None
+    if "pose_w_q" in data:
+        state = OdometryState(
+            pose_w=se3.Pose(
+                jnp.asarray(data["pose_w_q"]), jnp.asarray(data["pose_w_t"])
+            ),
+            pose_rel=se3.Pose(
+                jnp.asarray(data["pose_rel_q"]),
+                jnp.asarray(data["pose_rel_t"]),
+            ),
+            prev_less_sharp=_unflatten_fc("prev_ls", data),
+            prev_less_flat=_unflatten_fc("prev_lf", data),
+        )
     if mapper is not None and "map_corr_q" in data:
         mapper.correction = se3.Pose(
             jnp.asarray(data["map_corr_q"]), jnp.asarray(data["map_corr_t"])
@@ -222,3 +241,14 @@ def load_chunk_states(path: str):
             "dchunk", data, _dchunk_template(int(data["dchunk_levels"]))
         )
     return vchunk, dchunk
+
+
+def load_map_state(path: str, template):
+    """Restore a raw device-mapping pytree saved via
+    ``save_checkpoint(..., map_state=...)``; ``template`` supplies the tree
+    structure (``device_mapping.init_state(cfg)``). Returns None if the
+    checkpoint carries no map state."""
+    data = np.load(path)
+    if "mapst_0" not in data:
+        return None
+    return _load_tree("mapst", data, template)

@@ -59,7 +59,21 @@ def main() -> None:
                     help="scan upload encoding (polar = 4 B/cell packed "
                     "range image, the fastest transfer path)")
     ap.add_argument("--out", default=None, help="trajectory output path")
-    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="snapshot the full pipeline state every N frames "
+                    "(rounded to chunk boundaries) to --checkpoint-path; "
+                    "a later --resume continues BIT-EXACTLY (the reference "
+                    "loses everything on a crash, SURVEY §5)")
+    ap.add_argument("--checkpoint-path", default=None,
+                    help="snapshot file (default <out>.ckpt.npz; the "
+                    "--direct companion state lands in *_direct.ckpt.npz)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from --checkpoint-path instead of "
+                    "starting at frame 0")
+    ap.add_argument("--stop-after", type=int, default=None,
+                    help="stop after this many frames, right after writing "
+                    "a checkpoint (budgeted partial runs; also the "
+                    "kill-simulation hook for the resume tests)")
     ap.add_argument("--plot", default=None, help="write a trajectory PNG here")
     ap.add_argument(
         "--cpu", action="store_true",
@@ -97,6 +111,15 @@ def main() -> None:
     mapped_result = None
     if args.coupled or args.direct:
         args.camera = True
+    out_path = args.out or f"trajectory_{args.sequence:02d}.txt"
+    ckpt_path = args.checkpoint_path or out_path.replace(".txt", "") + \
+        ".ckpt.npz"
+    ckpt_kw = dict(
+        checkpoint_path=ckpt_path if (args.checkpoint_every or args.resume)
+        else None,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume, stop_after=args.stop_after,
+    )
     t0 = time.time()
     if args.camera:
         import dataclasses
@@ -129,7 +152,7 @@ def main() -> None:
         res = pipe.run_chunked(
             scans, images, chunk=args.chunk, progress=True, ingest=ingest,
             coupled=args.coupled, mapping=args.mapping,
-            map_skip=args.map_skip,
+            map_skip=args.map_skip, **ckpt_kw,
         )
         from lidar_visual_odometry_tpu.models.pipeline import TrajectoryResult
 
@@ -160,8 +183,13 @@ def main() -> None:
                 cmasks.append(cm)
             cam = cam_ops.Pinhole.from_config(cfg.camera)
             dvo = DirectVOChunked(cam, cfg.visual, point_cap=2048)
+            dkw = dict(ckpt_kw)
+            if dkw["checkpoint_path"]:
+                dkw["checkpoint_path"] = dkw["checkpoint_path"].replace(
+                    ".ckpt.npz", "_direct.ckpt.npz"
+                )
             ts_d, qs_d, _ = dvo.run_chunked(
-                images, clouds, cmasks, chunk=args.chunk
+                images, clouds, cmasks, chunk=args.chunk, **dkw
             )
             dq, dt = _map_cam_poses_to_lidar(
                 jnp.asarray(qs_d), jnp.asarray(ts_d),
@@ -174,17 +202,19 @@ def main() -> None:
         pipe = FullPipeline(cfg)
         odom, mapped = pipe.run_chunked(
             scans, chunk=args.chunk, progress=True,
-            map_skip=args.map_skip, ingest=args.ingest,
+            map_skip=args.map_skip, ingest=args.ingest, **ckpt_kw,
         )
         result = mapped
     else:
         pipe = OdometryPipeline(cfg)
         result = pipe.run_chunked(
             scans, chunk=args.chunk, progress=True, ingest=args.ingest,
+            **ckpt_kw,
         )
     wall = time.time() - t0
 
-    out_path = args.out or f"trajectory_{args.sequence:02d}.txt"
+    # a --stop-after run returns a truncated trajectory; report on what ran
+    n = min(n, len(result.positions))
     from lidar_visual_odometry_tpu.eval.metrics import poses_to_matrices
 
     mats = poses_to_matrices(result.quaternions, result.positions)

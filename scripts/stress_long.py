@@ -85,7 +85,8 @@ def main() -> None:
     cfg = SystemConfig()
     lcfg = cfg.lidar
 
-    def run(start_chunk=0, odo_state=None, map_state=None, n_chunks=None):
+    def run(start_chunk=0, odo_state=None, map_state=None, n_chunks=None,
+            sync_after_first=False):
         """Run chunks [start_chunk, start_chunk+n_chunks) of the sequence;
         returns (odo_state, map_state, odom poses, mapped poses, chunk wall
         times). Frame 0 bootstraps when starting from scratch."""
@@ -121,6 +122,12 @@ def main() -> None:
             mt.append(mp.t)
             # per-chunk wall includes async dispatch only; force one sync
             # at the end for true totals — record dispatch walls anyway
+            if sync_after_first and s == sel[0]:
+                # drain chunk 0's COMPUTE (not just its dispatch) so the
+                # steady-state window that excludes walls[0] is a strict
+                # exclusion (ADVICE r4: dispatch-only walls[0] overlapped
+                # later chunks and made steady_fps slightly optimistic)
+                np.asarray(mp.t)
             walls.append(time.time() - t0)
         # drain + fetch
         cat = jax.jit(lambda xs: jnp.concatenate(xs))
@@ -135,7 +142,7 @@ def main() -> None:
     # steady-state: rerun (states warm, programs compiled), time all
     # chunks after the first — excludes compile + frame-0 bootstrap
     t1 = time.time()
-    _, _, _, walls = run()
+    _, _, _, walls = run(sync_after_first=True)
     wall_warm = time.time() - t1
     frames_warm = n - 1 - args.chunk
     steady_fps = frames_warm / max(wall_warm - walls[0], 1e-9)
