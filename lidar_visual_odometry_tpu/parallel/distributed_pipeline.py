@@ -97,10 +97,14 @@ class DistributedSlamPipeline:
             self.pose_w = se3.se3_compose(self.pose_w, rel)
             self.pose_rel = rel
         self._prev = (f_rep.less_sharp, f_rep.less_flat)
+        return self._mapping_update(reg.features, map_skip)
 
+    def _mapping_update(self, feats, map_skip: int = 1) -> se3.Pose:
+        """Scan-to-map at the mapping cadence (submap sharded over the
+        mesh); host ``CubeMap`` bookkeeping. Shared with the cam-lidar
+        composition (distributed_camlidar.py)."""
         # scan-to-map at the mapping cadence; host CubeMap bookkeeping
         mcfg = self.cfg.mapping
-        feats = reg.features
         corner = np.asarray(feats.less_sharp.xyz)
         corner_m = np.asarray(feats.less_sharp.mask)
         surf = np.asarray(feats.less_flat.xyz)

@@ -72,30 +72,12 @@ def sharded_visual_step(
             eps=cfg.lk_eps,
             affine=cfg.lk_affine,
         )
-        active = tab.active & ok
-        un0 = cam_ops.normalized(cam, tab.uv)
-        un1 = cam_ops.normalized(cam, uv1)
-        d_lidar, ok_lidar = vf.associate_depth(un0, active, dc)
-        T_first = se3.Pose(tab.start_q, tab.start_t)
-        T_prev_first = se3.se3_compose(
-            se3.se3_inverse(se3.Pose(
-                jnp.broadcast_to(pose_w.q, tab.start_q.shape),
-                jnp.broadcast_to(pose_w.t, tab.start_t.shape),
-            )),
-            T_first,
+        # row-wise gates shared verbatim with the unsharded path
+        # (visual_frontend.depth_gates): each device evaluates its feature
+        # shard against the replicated depth cloud — zero communication
+        _, un0, un1, depth, has_depth, epi_ok = vf.depth_gates(
+            uv1, ok, dc, tab, pose_w, cam
         )
-        d_tri, ok_tri = vf.triangulate(un0, tab.start_un, T_prev_first)
-        prev_d = tab.depth
-        has_prev = prev_d > 0
-        d_tri_fused = jnp.where(has_prev, 0.4 * prev_d + 0.6 * d_tri, d_tri)
-        depth = jnp.where(
-            ok_lidar, d_lidar,
-            jnp.where(ok_tri, d_tri_fused, jnp.where(has_prev, prev_d, 0.0)),
-        )
-        v1 = ok_lidar
-        v2 = ~ok_lidar & (ok_tri | has_prev)
-        has_depth = (v1 | v2) & active & (depth > 0)
-        epi_ok = (~v1) & active
 
         def psum_reduce(H, g, n_depth, sum_e):
             return (
