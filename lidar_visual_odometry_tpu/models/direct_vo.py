@@ -36,12 +36,19 @@ def _run_window_ba(pyrs, pts, masks, poses, cam, cfg: VisualConfig):
     place for the cost knobs (ba_points stride, ba_level, ba_iters) so the
     two paths stay bit-identical (tests/test_direct_tracker.py parity)."""
     stride = max(1, pts.shape[1] // cfg.ba_points) if cfg.ba_points else 1
+    prec = {
+        "high": jax.lax.Precision.HIGH,
+        "bf16": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[cfg.ba_sample_precision]
     return window_ba.refine(
         pyrs, pts[:, ::stride], masks[:, ::stride], poses, cam,
         n_iters=cfg.ba_iters,
         level=min(cfg.ba_level, cfg.pyramid_levels - 1),
         tdist_dof=cfg.tdist_dof,
         step_tol=cfg.ba_step_tol,
+        sample_precision=prec,
+        pair_radius=cfg.ba_pair_radius,
     )
 
 

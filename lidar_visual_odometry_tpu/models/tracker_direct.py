@@ -45,15 +45,20 @@ def _level_cam(cam, level: int):
     )
 
 
-def _sample3(img: jax.Array, gx: jax.Array, gy: jax.Array, uv: jax.Array):
+def _sample3(img: jax.Array, gx: jax.Array, gy: jax.Array, uv: jax.Array,
+             precision=jax.lax.Precision.HIGH):
     """Sample (image, x-grad, y-grad) at shared coords.
 
     TPU: one gather-free one-hot MXU contraction for all three channels
     (XLA gathers serialize on TPU — the round-2 direct-VO path spent most
     of its 160 ms/frame in them); CPU: plain 4-tap gathers (fast there).
+    ``precision`` tunes the MXU pass count: HIGH = bf16x3 (default);
+    DEFAULT = single-pass bf16 — 3× cheaper on the MXU-bound window-BA
+    sampler, ~0.4% relative sample noise (see window_ba).
     """
     if jax.default_backend() == "tpu":
-        s = image.bilinear_mxu(jnp.stack([img, gx, gy]), uv)
+        s = image.bilinear_mxu(jnp.stack([img, gx, gy]), uv,
+                               precision=precision)
         return s[0], s[1], s[2]
     return (
         image.bilinear(img, uv),
@@ -62,9 +67,10 @@ def _sample3(img: jax.Array, gx: jax.Array, gy: jax.Array, uv: jax.Array):
     )
 
 
-def _sample1(img: jax.Array, uv: jax.Array) -> jax.Array:
+def _sample1(img: jax.Array, uv: jax.Array,
+             precision=jax.lax.Precision.HIGH) -> jax.Array:
     if jax.default_backend() == "tpu":
-        return image.bilinear_mxu(img[None], uv)[0]
+        return image.bilinear_mxu(img[None], uv, precision=precision)[0]
     return image.bilinear(img, uv)
 
 

@@ -595,7 +595,7 @@ def visual_chunk(
     """
     def step(carry: VisualChunkState, frame):
         img, pts, m = frame
-        new_carry, rel = chunk_frame_step(carry, img, pts, m, cam, cfg)
+        new_carry, rel, _ = chunk_frame_step(carry, img, pts, m, cam, cfg)
         return new_carry, (new_carry.pose_w.q, new_carry.pose_w.t)
 
     state, (qs, ts) = jax.lax.scan(
@@ -612,8 +612,9 @@ def chunk_frame_step(
     pyramid → LK fwd/rev → depth assoc + pose GN → replenish. Shared by
     ``visual_chunk`` and the coupled cam-lidar chunk
     (cam_lidar_pipeline.camlidar_coupled_chunk). Returns (carry,
-    T_cur_prev) — the relative pose feeds the lidar warm start in the
-    coupled mode (the reference's dormant tighter coupling,
+    T_cur_prev, n_tracked) — the relative pose plus the PRE-replenish
+    surviving-track count feed the lidar warm start + its health gate in
+    the coupled mode (the reference's dormant tighter coupling,
     CamLidarProcess.cpp:278-307 ``#if 0``)."""
     if img.dtype == jnp.uint8:
         # images upload as uint8 (¼ the tunnel bytes; cameras are 8-bit
@@ -644,8 +645,11 @@ def chunk_frame_step(
         uv1, ok, carry.prev_dc, carry.table, carry.pose_w,
         carry.warm_rel, cam, cfg,
     )
+    # tracking-health count BEFORE replenish (replenish refills the slots,
+    # masking a tracking blackout) — the coupled warm-start gate uses it
+    n_tracked = jnp.sum(table.active.astype(jnp.int32))
     table = _replenish(table, pyr[0], cam, pose_w, cfg)
-    return VisualChunkState(table, pose_w, rel, pyr, dc), rel
+    return VisualChunkState(table, pose_w, rel, pyr, dc), rel, n_tracked
 
 
 def init_chunk_state(

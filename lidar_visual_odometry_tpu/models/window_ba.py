@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -42,6 +44,7 @@ def _pair_ref_samples(
     point_mask: jax.Array,    # (K, P)
     h: jax.Array,
     cam_l,
+    precision=jax.lax.Precision.HIGH,
 ):
     """Host-side samples + validity for one pair — pose-INDEPENDENT (the
     host keyframe's points are in its own camera frame), so computed once
@@ -49,7 +52,8 @@ def _pair_ref_samples(
     ~25% of BA sampling re-reading them)."""
     pts_h = points[h]
     uv_h, front_h = cam_ops.project(cam_l, pts_h)
-    i_ref = _sample1(pyr_imgs[h], uv_h[:, None, :] + PATCH[None])
+    i_ref = _sample1(pyr_imgs[h], uv_h[:, None, :] + PATCH[None],
+                     precision=precision)
     ok_h = (
         point_mask[h]
         & front_h
@@ -68,6 +72,7 @@ def _pair_residuals(
     h: jax.Array,
     t: jax.Array,
     cam_l,
+    precision=jax.lax.Precision.HIGH,
 ):
     """Residuals + host-side Jacobian for one (host, target) pair."""
     pts_h = points[h]
@@ -82,7 +87,8 @@ def _pair_residuals(
 
     gx, gy = grads
     patch_t = uv_t[:, None, :] + PATCH[None]
-    i_cur, gxs, gys = _sample3(pyr_imgs[t], gx[t], gy[t], patch_t)
+    i_cur, gxs, gys = _sample3(pyr_imgs[t], gx[t], gy[t], patch_t,
+                               precision=precision)
     r = i_cur - i_ref                                          # (P, 4)
 
     z = jnp.maximum(p_t[..., 2], 1e-3)
@@ -119,7 +125,8 @@ def _pair_residuals(
 
 
 @partial(jax.jit, static_argnames=("n_iters", "level", "tdist_dof",
-                                   "step_tol"))
+                                   "step_tol", "sample_precision",
+                                   "pair_radius"))
 def refine(
     pyramids: tuple,           # tuple over levels of (K, H, W)
     points: jax.Array,         # (K, P, 3)
@@ -131,29 +138,53 @@ def refine(
     level: int = 1,
     tdist_dof: float = 5.0,
     step_tol: float = 1e-5,
+    sample_precision=jax.lax.Precision.HIGH,
+    pair_radius: int = 0,
 ) -> se3.Pose:
     """Jointly refine all K world poses; returns the lowest-χ² evaluated
-    iterate. ``step_tol=0`` restores the fixed ``n_iters`` schedule."""
+    iterate. ``step_tol=0`` restores the fixed ``n_iters`` schedule.
+
+    ``sample_precision`` drives the one-hot MXU patch sampler: HIGH
+    (bf16x3) reproduces f32 sampling; DEFAULT is single-pass bf16 — the
+    (pairs, P·4, C·H) sampling contraction is the BA's dominant device op
+    (measured 31% of the whole direct chunk at level 0, ≈95% of v5e bf16
+    MXU peak at the HIGH pass count), so DEFAULT cuts it 3× (bench
+    corridor: 67→75 fps for +4 mm ATE — the A/B table in BASELINE.md
+    round-5 roofline section)."""
     K = points.shape[0]
     imgs = pyramids[level]
     cam_l = _level_cam(cam, level)
 
-    hs, ts = jnp.nonzero(
-        ~jnp.eye(K, dtype=bool), size=K * (K - 1)
-    )  # static pair list
+    # static pair list: all ordered pairs (WindowOptimizer.cpp:496-520), or
+    # only |h−t| ≤ pair_radius when pair_radius > 0 — distant keyframe
+    # pairs have the least co-visible overlap, and every per-iteration
+    # tensor (samples, residuals, Jacobians) scales with the pair count
+    sel = ~np.eye(K, dtype=bool)
+    if pair_radius > 0:
+        ij = np.abs(np.arange(K)[:, None] - np.arange(K)[None, :])
+        sel &= ij <= pair_radius
+    hs_np, ts_np = np.nonzero(sel)
+    hs, ts = jnp.asarray(hs_np, jnp.int32), jnp.asarray(ts_np, jnp.int32)
 
     # pose-independent hoists: target-image gradients (K images, not
     # K·(K−1) pairs × iterations) and host-side samples (once, not per
     # GN iteration)
     grads = image.gradients(imgs)
+    # NOTE the reference samples take the SAME precision as the iterate
+    # samples on purpose: sampling i_ref at HIGH while i_cur is bf16 leaves
+    # a precision-mismatch floor in r at convergence and measured WORSE
+    # (0.0482 m) than all-bf16 (0.0433) — identical rounding on both sides
+    # cancels in the difference.
     i_ref_p, ok_h_p = jax.vmap(
-        lambda h: _pair_ref_samples(imgs, points, point_mask, h, cam_l)
+        lambda h: _pair_ref_samples(imgs, points, point_mask, h, cam_l,
+                                    precision=sample_precision)
     )(hs)                                                      # (Pairs, P, 4)
 
     def system(poses):
         r, J, ok = jax.vmap(
             lambda h, t, i_ref, ok_h: _pair_residuals(
-                imgs, grads, i_ref, ok_h, points, poses, h, t, cam_l
+                imgs, grads, i_ref, ok_h, points, poses, h, t, cam_l,
+                precision=sample_precision,
             )
         )(hs, ts, i_ref_p, ok_h_p)                             # (Pairs, P, 4[,6])
         w_ok = ok[..., None].astype(r.dtype)

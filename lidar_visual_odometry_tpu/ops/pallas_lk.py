@@ -25,6 +25,17 @@ Border behavior differs from ops/lk.py by design: the window *origin* clamps
 into the image (the XLA path clamps each sample), so features closer than
 win/2+2 px to a border may track differently — both paths gate them out via
 the in-bounds + reverse checks.
+
+``mxu=True`` swaps the roll+mix sampling engine for two two-tap one-hot MXU
+contractions per sample (rowsel/colsel fold the rolls AND the bilinear
+mixes). Measured on v5e (scripts/exp_lk_mxu.py, 768 features, win 13,
+level-0 640×192): SAME speed (3.43 vs 3.33 ms/call; parity ≤0.03 px) —
+i.e. the kernel is bound by the per-feature SERIAL dependency chain
+(corner math → load → sample → solve per iteration, one feature at a
+time on one core), not by the sampling engine's shuffle or matmul
+throughput. The remaining levers are feature count and iteration count
+(both already adaptive); see BASELINE.md "Kernel roofline" for the
+speed-of-light accounting.
 """
 
 from __future__ import annotations
@@ -84,16 +95,14 @@ def _solve6(L, b):
     return x
 
 
-def _lk_level_kernel(win, iters, eps, affine, H, Hpad, W, fb,
+def _lk_level_kernel(win, iters, eps, affine, mxu, H, Hpad, W, fb,
                      q_ref, i0_ref, i1_ref, out_ref):
     Wpad = i0_ref.shape[1]
     rows = _strip_rows(win)
     r = (win - 1) / 2.0
 
-    def strip(ref, xf, yf, w):
-        """(rows, 256) strip whose (0, 0) is the integer corner of a float
-        (xf, yf) top-left, plus the fractional offsets — w is the patch
-        width the corner clamp must accommodate."""
+    def corner(xf, yf, w):
+        """Clamped integer corner + fractions + aligned strip base."""
         xi = jnp.floor(xf).astype(jnp.int32)
         yi = jnp.floor(yf).astype(jnp.int32)
         fx = xf - xi.astype(jnp.float32)
@@ -112,6 +121,13 @@ def _lk_level_kernel(win, iters, eps, affine, H, Hpad, W, fb,
         xa = pl.multiple_of(
             jnp.minimum((xi // 128) * 128, Wpad - 256), 128
         )
+        return xi, yi, fx, fy, xa, ya
+
+    def strip(ref, xf, yf, w):
+        """(rows, 256) strip whose (0, 0) is the integer corner of a float
+        (xf, yf) top-left, plus the fractional offsets — w is the patch
+        width the corner clamp must accommodate."""
+        xi, yi, fx, fy, xa, ya = corner(xf, yf, w)
         s = ref[pl.ds(ya, rows), pl.ds(xa, 256)]
         s = pltpu.roll(s, ya - yi, 0)
         s = pltpu.roll(s, xa - xi, 1)
@@ -123,10 +139,40 @@ def _lk_level_kernel(win, iters, eps, affine, H, Hpad, W, fb,
         v = v[:w, :] * (1.0 - fy) + v[1: w + 1, :] * fy
         return v[:, :w] * (1.0 - fx) + v[:, 1: w + 1] * fx
 
-    def sample(ref, xf, yf):
-        """Bilinear (win, win) patch with top-left corner at float (xf, yf)."""
-        s, fx, fy = strip(ref, xf, yf, win + 1)
-        return mix(s, fx, fy, win)
+    def sample_mxu(ref, xf, yf, w, margin):
+        """Bilinear (w, w) patch as TWO two-tap one-hot MXU contractions:
+        rowsel (w, rows) folds the sublane roll + y-mix, colsel (256, w)
+        folds the 256-lane roll + x-mix. The roll+mix path issues ~10 VPU
+        ops over (rows, 256) vregs per sample (the dynamic lane roll alone
+        is a multi-stage shuffle); here each sample is two small matmuls the
+        MXU pipelines. Clamp semantics identical to strip() (margin = the
+        corner clamp's patch width)."""
+        xi, yi, fx, fy, xa, ya = corner(xf, yf, margin)
+        s = ref[pl.ds(ya, rows), pl.ds(xa, 256)]
+        dy = yi - ya
+        dx = xi - xa
+        ri = jax.lax.broadcasted_iota(jnp.int32, (w, rows), 1)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (w, rows), 0) + dy
+        rowsel = (
+            (ri == rr).astype(jnp.float32) * (1.0 - fy)
+            + (ri == rr + 1).astype(jnp.float32) * fy
+        )
+        ci = jax.lax.broadcasted_iota(jnp.int32, (256, w), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (256, w), 1) + dx
+        colsel = (
+            (ci == cc).astype(jnp.float32) * (1.0 - fx)
+            + (ci == cc + 1).astype(jnp.float32) * fx
+        )
+        t = jnp.dot(rowsel, s, preferred_element_type=jnp.float32)
+        return jnp.dot(t, colsel, preferred_element_type=jnp.float32)
+
+    if mxu:
+        def sample(ref, xf, yf):
+            return sample_mxu(ref, xf, yf, win, win + 1)
+    else:
+        def sample(ref, xf, yf):
+            s, fx, fy = strip(ref, xf, yf, win + 1)
+            return mix(s, fx, fy, win)
 
     def per_feature(f, _):
         x = q_ref[f, 0]
@@ -145,8 +191,11 @@ def _lk_level_kernel(win, iters, eps, affine, H, Hpad, W, fb,
             # ONE (win+2)² template sample; gradients by central difference
             # of the padded patch ≡ bilinear samples of image.gradients in
             # the interior (linearity of bilinear interpolation)
-            s, fx, fy = strip(i0_ref, tx - 1.0, ty - 1.0, win + 3)
-            p = mix(s, fx, fy, win + 2)               # (win+2, win+2)
+            if mxu:
+                p = sample_mxu(i0_ref, tx - 1.0, ty - 1.0, win + 2, win + 3)
+            else:
+                s, fx, fy = strip(i0_ref, tx - 1.0, ty - 1.0, win + 3)
+                p = mix(s, fx, fy, win + 2)           # (win+2, win+2)
             t = p[1: win + 1, 1: win + 1]
             jx = 0.5 * (p[1: win + 1, 2: win + 2] - p[1: win + 1, 0:win])
             jy = 0.5 * (p[2: win + 2, 1: win + 1] - p[0:win, 1: win + 1])
@@ -267,7 +316,7 @@ def _lk_level_kernel(win, iters, eps, affine, H, Hpad, W, fb,
 
 
 @partial(jax.jit, static_argnames=("win", "iters", "eps", "fb", "affine",
-                                   "interpret"))
+                                   "mxu", "interpret"))
 def lk_level(
     img0: jax.Array,    # (H, W) float32
     img1: jax.Array,
@@ -280,6 +329,7 @@ def lk_level(
     eps: float = 0.0,
     fb: int = 8,
     affine: bool = False,
+    mxu: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Refined displacement + Hessian-ok flag for one pyramid level.
@@ -315,7 +365,8 @@ def lk_level(
         [uv0.astype(jnp.float32), guess.astype(jnp.float32), act], axis=-1
     )  # (N, 5)
     out = pl.pallas_call(
-        partial(_lk_level_kernel, win, iters, eps, affine, H, Hpad, W, fb),
+        partial(_lk_level_kernel, win, iters, eps, affine, mxu, H, Hpad, W,
+                fb),
         grid=(N // fb,),
         in_specs=[
             pl.BlockSpec((fb, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),

@@ -174,6 +174,7 @@ class DistributedCamLidarPipeline(DistributedSlamPipeline):
             dc = vf.build_depth_cloud(dcx[0], dcm[0])
 
         rel_cam = None
+        n_tracked = None
         if self._prev_pyr is not None:
             uv1, ok, rel_cam, new_pose_cam = sv.sharded_visual_step(
                 self.mesh, self._prev_pyr, pyr, self._prev_dc, self.table,
@@ -183,6 +184,9 @@ class DistributedCamLidarPipeline(DistributedSlamPipeline):
                 uv1, ok, self._prev_dc, self.table, self.pose_cam, rel_cam,
                 self.cam,
             )
+            # pre-replenish surviving-track count = the coupled gate's
+            # tracking-health term (≡ chunk_frame_step's n_tracked)
+            n_tracked = jnp.sum(table.active.astype(jnp.int32))
             self.table = vf._replenish_jit(
                 table, pyr[0], self.cam, new_pose_cam, cfg
             )
@@ -198,6 +202,9 @@ class DistributedCamLidarPipeline(DistributedSlamPipeline):
                 init = visual_prior_gate(
                     self.pose_rel, rel_cam, self.T_lidar_cam,
                     self.T_cam_lidar, self.max_prior_step,
+                    n_tracked=n_tracked,
+                    min_tracked=int(cfg.coupled_min_track_ratio
+                                    * cfg.max_tracked),
                 )
             else:
                 init = self.pose_rel

@@ -217,6 +217,36 @@ class VisualConfig:
                                       # 45.3 → 73.8 fps at ATE 0.039 m (TPU
                                       # frontier, BASELINE.md)
     ba_step_tol: float = 1e-5         # BA early-exit |δ|∞ (LSQNonlinear.hpp:56-60)
+    coupled_min_track_ratio: float = 0.25  # coupled warm-start health gate:
+                                      # the visual prior feeds the lidar GN
+                                      # only while the PRE-replenish
+                                      # surviving-track count stays above
+                                      # this fraction of max_tracked.
+                                      # U-turn blackouts keep the prior
+                                      # plausible-SIZED while tracking
+                                      # nothing; magnitude gating alone
+                                      # measured lidar ATE 0.17 → 4.33 m
+                                      # on the revisit regime (bench cam)
+    ba_pair_radius: int = 2           # 0 = all K·(K−1) ordered BA pairs
+                                      # (WindowOptimizer.cpp:496-520);
+                                      # r>0 keeps only |host−target| ≤ r.
+                                      # Every per-iteration BA tensor scales
+                                      # with the pair count, and r=2 also
+                                      # IMPROVES accuracy (0.0391→0.0351 m
+                                      # at "high"): the dropped distant
+                                      # pairs have the least co-visible
+                                      # overlap and mostly contribute
+                                      # noise. r=1 over-prunes (0.066 m).
+                                      # Sweep: BASELINE.md round-5 roofline
+    ba_sample_precision: str = "bf16"  # one-hot MXU patch-sampler pass
+                                      # count: "high" = bf16x3 (≈ f32),
+                                      # "bf16" = single pass — 3× cheaper
+                                      # on the BA's dominant device op
+                                      # (95% of MXU peak at "high").
+                                      # bf16+r2 = 90.8 fps / 0.0362 m vs
+                                      # the r4 default 73.8 / 0.0391
+                                      # (better on BOTH axes; sweep in
+                                      # BASELINE.md), "highest" = f32x6
     patch_pattern: str = "quad"       # 4-px pattern {(1,-1),(1,1),(-1,-1),(-1,1)} (Tracker2.h:41-44)
     tdist_dof: float = 5.0            # t-distribution nu (WeightFunction.cpp:91-95)
     use_clahe: bool = False           # CLAHE prep (featureTracking.cpp:92-95);
