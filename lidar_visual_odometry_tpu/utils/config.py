@@ -217,7 +217,7 @@ class VisualConfig:
                                       # 45.3 → 73.8 fps at ATE 0.039 m (TPU
                                       # frontier, BASELINE.md)
     ba_step_tol: float = 1e-5         # BA early-exit |δ|∞ (LSQNonlinear.hpp:56-60)
-    coupled_min_track_ratio: float = 0.25  # coupled warm-start health gate:
+    coupled_min_track_ratio: float = 0.5  # coupled warm-start health gate:
                                       # the visual prior feeds the lidar GN
                                       # only while the PRE-replenish
                                       # surviving-track count stays above
@@ -226,7 +226,11 @@ class VisualConfig:
                                       # plausible-SIZED while tracking
                                       # nothing; magnitude gating alone
                                       # measured lidar ATE 0.17 → 4.33 m
-                                      # on the revisit regime (bench cam)
+                                      # on the revisit regime (bench cam).
+                                      # Ratio sweep there: 0.25 → 2.44 m,
+                                      # 0.5 → 0.093 (coupling now BEATS
+                                      # plain 0.172), 0.75 → 0.172
+                                      # (coupling gated off entirely)
     ba_pair_radius: int = 2           # 0 = all K·(K−1) ordered BA pairs
                                       # (WindowOptimizer.cpp:496-520);
                                       # r>0 keeps only |host−target| ≤ r.

@@ -751,3 +751,79 @@ class TestCamLidarCoupled:
         ate_vc = metrics.ate_rmse(coupled.visual_positions, gt, align=False)
         assert ate_v < 0.25, ate_v
         assert ate_vc < 0.25, ate_vc
+
+    def test_visual_rotation_regime_bounded_bench_camera(self):
+        """CI bound on the ROTATION regime at the bench-scale camera
+        (VERDICT r4 next #3: the 320×96 regime rows could not detect a
+        visual-algorithm regression — they measured the FOV limit). A
+        sustained 2.3°/frame turn (the rotation_heavy regime's rate) at
+        640×192: the visual estimate must stay bounded and the
+        health-gated coupling must not degrade the lidar path."""
+        from lidar_visual_odometry_tpu.models.cam_lidar_pipeline import (
+            CamLidarPipeline,
+        )
+        from lidar_visual_odometry_tpu.utils.config import (
+            CameraConfig, ExtrinsicConfig, LidarConfig, OdometryConfig,
+            SystemConfig, VisualConfig,
+        )
+
+        R_sc = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+        ext = tuple(tuple(float(v) for v in row) + (0.0,) for row in R_sc.T)
+        CAM = dict(fx=240.0, fy=240.0, cx=320.0, cy=96.0,
+                   width=640, height=192)
+        cfg = SystemConfig(
+            lidar=LidarConfig(azimuth_bins=1024),
+            odometry=OdometryConfig(outer_iters=5, gn_iters=4),
+            camera=CameraConfig(
+                fx=CAM["fx"], fy=CAM["fy"], cx=CAM["cx"], cy=CAM["cy"],
+                width=CAM["width"], height=CAM["height"],
+            ),
+            # bench-style tracker scaled to a CI budget: 256 slots need a
+            # matching replenish grid (the default 28×6×5 grid nominates
+            # 840 candidates — oversubscribing a 256-slot table starves
+            # tracked features and the estimate drifts meters even on a
+            # gentle curve; measured while building this test)
+            visual=VisualConfig(
+                lk_window=13, lk_levels=3, lk_reverse_levels=1,
+                lk_iters_coarse=4, max_tracked=256, depth_cloud_cap=16384,
+                grid_rows=3, grid_cols=8, max_features_per_cell=8,
+            ),
+            extrinsic=ExtrinsicConfig(matrix=ext),
+        )
+        n = 9
+        seq = synthetic.SyntheticSequence(
+            n_frames=n, width=900, yaw_rate=0.04, noise=0.005
+        )
+        scans, images = [], []
+        for k in range(n):
+            scans.append(seq.scan(k))
+            Rc, tc = synthetic.camera_from_velodyne_pose(*seq.pose(k))
+            img, _ = synthetic.render_image(seq.scene, Rc, tc, **CAM)
+            images.append(img)
+        gt = np.stack(
+            [seq.pose(0)[0].T @ (seq.pose(k)[1] - seq.pose(0)[1])
+             for k in range(n)]
+        )
+        from lidar_visual_odometry_tpu.eval import metrics
+
+        coupled = CamLidarPipeline(cfg, capacity=65536).run_chunked(
+            scans, images, chunk=4, ingest="polar", coupled=True
+        )
+        plain = CamLidarPipeline(cfg, capacity=65536).run_chunked(
+            scans, images, chunk=4, ingest="polar"
+        )
+        # CI bound: this sparse-cloud fixture (width-900 scans → thin depth
+        # association) measures 1.9 m; the pre-affine-LK divergence class
+        # this gate exists for read 10-20 m on the same class of fixture,
+        # and the precise operating numbers live in BASELINE's TPU regime
+        # table (rotation_heavy 1.72 m @ 41 frames, width-1800 clouds)
+        ate_v = metrics.ate_rmse(coupled.visual_positions, gt, align=False)
+        assert np.isfinite(ate_v) and ate_v < 3.0, ate_v
+        # and the tracker actually moved (not frozen at identity)
+        assert np.linalg.norm(coupled.visual_positions[-1]) > 2.0
+        ate_c = metrics.ate_rmse(coupled.lidar_positions, gt, align=False)
+        ate_p = metrics.ate_rmse(plain.lidar_positions, gt, align=False)
+        # the health-gated prior must never make the lidar meaningfully
+        # worse than the constant-velocity warm start (the 4.33 m revisit
+        # bug class this gate exists for)
+        assert ate_c < ate_p * 1.5 + 0.05, (ate_c, ate_p)
