@@ -132,6 +132,14 @@ def _config():
                                    # cam-lidar device budget and scales
                                    # with features; 768 keeps the corridor
                                    # ATE (512 doubles it)
+            grid_cols=25,          # replenish grid MATCHED to the slot
+                                   # budget (25·6·5 = 750 ≤ 768): the
+                                   # default 840-candidate grid
+                                   # oversubscribes the table and starves
+                                   # tracked features — matching it
+                                   # measured ate_visual 0.114 → 0.082 m
+                                   # at the same fps (round-5 sweep,
+                                   # scripts/exp_lk_slots_grid.py)
         ),
         extrinsic=ExtrinsicConfig(matrix=ext),
     )

@@ -282,6 +282,41 @@ def direct_chunk(
     return jax.lax.scan(step, state, (imgs, pts, masks))
 
 
+@partial(jax.jit, static_argnames=("P", "img_shape"))
+def _split_direct_upload(comb: jax.Array, P: int, img_shape: tuple):
+    """Split the per-chunk single uint16 upload back into (qpts uint16,
+    imgs uint8, masks bool) on device. The tunneled TPU pays a fixed
+    per-transfer cost on top of the byte rate (BASELINE.md ≈55 ms +
+    12.5 ms/MB); packing the direct chunk's three uploads into one buffer
+    removes two fixed costs per chunk (same trick as the cam-lidar
+    chunk's ``_split_packed_upload``)."""
+    K = comb.shape[0]
+    n_q = P * 3
+    qpts = comb[:, :n_q].reshape(K, P, 3)
+    rest8 = jax.lax.bitcast_convert_type(
+        comb[:, n_q:], jnp.uint8
+    ).reshape(K, -1)
+    ms = rest8[:, :P] != 0
+    n_img = int(np.prod(img_shape))
+    imgs = rest8[:, P:P + n_img].reshape(K, *img_shape)
+    return qpts, imgs, ms
+
+
+def _pack_direct_upload(qpts: np.ndarray, imgs: np.ndarray,
+                        ms: np.ndarray) -> np.ndarray:
+    """(K,P,3) uint16 + (K,H,W) uint8 + (K,P) bool → one (K, n) uint16."""
+    K, P, _ = qpts.shape
+    tail8 = np.concatenate(
+        [ms.astype(np.uint8).reshape(K, -1),
+         np.ascontiguousarray(imgs).reshape(K, -1)], axis=1,
+    )
+    if tail8.shape[1] % 2:
+        tail8 = np.pad(tail8, ((0, 0), (0, 1)))
+    return np.concatenate(
+        [qpts.reshape(K, -1), tail8.view(np.uint16)], axis=1
+    )
+
+
 class DirectVOChunked:
     """Host driver for the fused direct-VO path: per chunk one upload + one
     async dispatch, poses fetched in a single epilogue — no per-frame host
@@ -295,6 +330,9 @@ class DirectVOChunked:
         self.kf_ratio = keyframe_visible_ratio
         self.run_ba = run_window_ba
         self.point_cap = point_cap
+        # single-buffer chunk upload (see _split_direct_upload); False = the
+        # three separate transfers, kept for the A/B in BASELINE.md
+        self.pack_upload = True
 
     def run_chunked(self, images, clouds, cloud_masks, chunk: int = 8,
                     progress: bool = False,
@@ -352,8 +390,17 @@ class DirectVOChunked:
                     (np.asarray(clouds[k]) - QUANT_OFFSET) / QUANT_SCALE,
                     0.0, 65535.0) + 0.5).astype(np.uint16)
                 ms[i] = np.asarray(cloud_masks[k])
+            if self.pack_upload:
+                comb = _pack_direct_upload(qpts, imgs, ms)
+                dq, dimg, dm = _split_direct_upload(
+                    jnp.asarray(comb), P, imgs.shape[1:]
+                )
+            else:
+                dq, dimg, dm = (
+                    jnp.asarray(qpts), jnp.asarray(imgs), jnp.asarray(ms)
+                )
             state, poses = direct_chunk(
-                state, jnp.asarray(imgs), jnp.asarray(qpts), jnp.asarray(ms),
+                state, dimg, dq, dm,
                 self.cam, self.cfg, kf_ratio=self.kf_ratio,
                 run_ba=self.run_ba, point_cap=self.point_cap,
             )

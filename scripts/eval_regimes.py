@@ -170,6 +170,7 @@ def main() -> None:
             visual=VisualConfig(
                 depth_cloud_cap=16384, lk_window=13, lk_levels=3,
                 lk_reverse_levels=1, lk_iters_coarse=4, max_tracked=768,
+                grid_cols=25,  # matched replenish grid (bench._config)
             ),
             extrinsic=ExtrinsicConfig(matrix=ext),
         )

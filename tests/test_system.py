@@ -453,6 +453,26 @@ def test_packed_upload_byte_roundtrip():
         np.testing.assert_array_equal(np.asarray(i8), imgs)
 
 
+def test_direct_packed_upload_byte_roundtrip():
+    """Direct-VO single-buffer chunk upload (qpts uint16 + masks + uint8
+    images in one uint16 buffer) splits back byte-exactly on device —
+    including an odd mask+image byte total (one-byte pad)."""
+    from lidar_visual_odometry_tpu.models.direct_vo import (
+        _pack_direct_upload, _split_direct_upload,
+    )
+
+    rng = np.random.default_rng(3)
+    for K, P, H, W in [(2, 64, 24, 40), (3, 33, 7, 9)]:
+        qpts = rng.integers(0, 65536, (K, P, 3), dtype=np.uint16)
+        imgs = rng.integers(0, 256, (K, H, W), dtype=np.uint8)
+        ms = rng.random((K, P)) > 0.5
+        comb = _pack_direct_upload(qpts, imgs, ms)
+        dq, dimg, dm = _split_direct_upload(jnp.asarray(comb), P, (H, W))
+        np.testing.assert_array_equal(np.asarray(dq), qpts)
+        np.testing.assert_array_equal(np.asarray(dimg), imgs)
+        np.testing.assert_array_equal(np.asarray(dm), ms)
+
+
 class TestCamLidarChunked:
     def test_chunked_matches_per_frame(self):
         """CamLidarPipeline.run_chunked (fused lidar chunk + fused visual
