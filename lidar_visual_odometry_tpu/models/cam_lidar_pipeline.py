@@ -79,6 +79,21 @@ def _pack_images_uint16(imgs: np.ndarray) -> np.ndarray:
     return flat.view(np.uint16)
 
 
+def camera_cloud_select(raw: np.ndarray, R_cl: np.ndarray,
+                        t_cl: np.ndarray, cap: int):
+    """Host-side camera-frame depth-cloud selection shared by the
+    single-device pipeline and the distributed composition: extrinsic
+    transform, z>0.3 near-clip, even stride down to ``cap`` (scan order is
+    azimuth-major — a plain [:cap] truncation would keep one azimuth wedge
+    and leave most of the image without depth), fixed-capacity pad."""
+    cam_pts = raw @ R_cl.T + t_cl
+    cam_pts = cam_pts[cam_pts[:, 2] > 0.3]
+    if cam_pts.shape[0] > cap:
+        stride = -(-cam_pts.shape[0] // cap)
+        cam_pts = cam_pts[::stride][:cap]
+    return pc.pad_points(cam_pts, cap)
+
+
 def _np_quat_from_matrix(R: np.ndarray) -> np.ndarray:
     """(w, x, y, z) from a 3×3 rotation, host numpy (Shepperd's method —
     same branch structure as ``se3.matrix_to_quat``, kept on host so
@@ -468,16 +483,9 @@ class CamLidarPipeline:
         )
 
     def _cam_cloud(self, raw: np.ndarray):
-        cam_capacity = self.cfg.visual.depth_cloud_cap
-        cam_pts = self._cloud_to_camera(raw)
-        cam_pts = cam_pts[cam_pts[:, 2] > 0.3]
-        if cam_pts.shape[0] > cam_capacity:
-            # strided subsample: scan order is azimuth-major, so a plain
-            # [:cap] truncation would keep one azimuth wedge and leave most
-            # of the image without depth
-            stride = -(-cam_pts.shape[0] // cam_capacity)
-            cam_pts = cam_pts[::stride][:cam_capacity]
-        return pc.pad_points(cam_pts, cam_capacity)
+        return camera_cloud_select(
+            raw, self.R_cl, self.t_cl, self.cfg.visual.depth_cloud_cap
+        )
 
     def run_chunked(self, scans: list, images: list, chunk: int = 8,
                     progress: bool = False,
@@ -532,11 +540,30 @@ class CamLidarPipeline:
             start, odo_state, _, _ = ckpt.load_checkpoint(checkpoint_path)
             vis_state, _ = ckpt.load_chunk_states(checkpoint_path)
             data = np.load(checkpoint_path)
+            if odo_state is None or vis_state is None or (
+                "traj_v_q" not in data
+            ):
+                raise ValueError(
+                    f"{checkpoint_path} is not a cam-lidar pipeline "
+                    "checkpoint (missing odometry/visual chunk state) — "
+                    "was it written by a different mode?"
+                )
+            # the lidar trajectory lives under the cross-pipeline
+            # "traj_q"/"traj_t" keys (single copy; the visual/map companions
+            # ride in extra)
             prefix = {
-                k: np.asarray(data[k]) for k in
-                ("traj_l_q", "traj_l_t", "traj_v_q", "traj_v_t")
+                "traj_l_q": np.asarray(data["traj_q"]),
+                "traj_l_t": np.asarray(data["traj_t"]),
+                "traj_v_q": np.asarray(data["traj_v_q"]),
+                "traj_v_t": np.asarray(data["traj_v_t"]),
             }
             if mapping:
+                if "mapst_0" not in data:
+                    raise ValueError(
+                        f"{checkpoint_path} carries no map state — it was "
+                        "written without mapping=True and cannot resume a "
+                        "mapping run"
+                    )
                 map_state = ckpt.load_map_state(
                     checkpoint_path, map_state
                 )
@@ -566,6 +593,10 @@ class CamLidarPipeline:
         lcfg = self.cfg.lidar
         lq, lt, vq, vt = [], [], [], []
         mapq, mapt = [], []
+        host_acc: dict = {}   # per-list host copies of fetched chunks —
+                              # checkpoint saves pull only NEW chunks (the
+                              # full-traj _cat per save was O(N²) D2H + a
+                              # remote re-compile per distinct arity)
         n_done = n
         last_saved = start
         for s in range(start, n, chunk):
@@ -674,14 +705,17 @@ class CamLidarPipeline:
                 done = next_s - 1  # valid rows in the raw accumulations
 
                 def fetch(xs, pk):
-                    got = np.asarray(_cat(xs))
+                    hl = host_acc.setdefault(pk, [])
+                    for c in xs[len(hl):]:
+                        hl.append(np.asarray(c))
+                    got = np.concatenate(hl)
                     if prefix is not None:
                         got = np.concatenate([prefix[pk], got])
                     return got[:done]
 
+                traj_l_q = fetch(lq, "traj_l_q")
+                traj_l_t = fetch(lt, "traj_l_t")
                 extra = {
-                    "traj_l_q": fetch(lq, "traj_l_q"),
-                    "traj_l_t": fetch(lt, "traj_l_t"),
                     "traj_v_q": fetch(vq, "traj_v_q"),
                     "traj_v_t": fetch(vt, "traj_v_t"),
                 }
@@ -690,8 +724,7 @@ class CamLidarPipeline:
                     extra["traj_m_t"] = fetch(mapt, "traj_m_t")
                 ckpt.save_checkpoint(
                     checkpoint_path, frame_idx=next_s, odom_state=odo_state,
-                    trajectory_q=extra["traj_l_q"],
-                    trajectory_t=extra["traj_l_t"],
+                    trajectory_q=traj_l_q, trajectory_t=traj_l_t,
                     visual_chunk=vis_state,
                     map_state=map_state if mapping else None,
                     extra=extra,
@@ -743,9 +776,10 @@ class CamLidarPipeline:
             mapped_t = np.concatenate(
                 [zero_t, gather(mapt, "traj_m_t", 3)])[:n]
 
+        done = max(n - start, 1)
         if progress:
-            print(f"cam-lidar fused: {n} frames in {wall:.2f}s "
-                  f"→ {(n - 1) / wall:.1f} fps")
+            print(f"cam-lidar fused: {n} frames ({done} computed) in "
+                  f"{wall:.2f}s → {done / wall:.1f} fps")
         self.last_wall = wall
         return CamLidarResult(
             lidar_positions=lidar_t, visual_positions=vis_t,

@@ -373,6 +373,8 @@ class DirectVOChunked:
 
         t0 = time.time()
         qs_chunks, ts_chunks = [], []
+        host_q: list = []   # incremental host copies for checkpoint saves
+        host_t: list = []   # (see OdometryPipeline.maybe_checkpoint)
         n_done = n
         last_saved = start
         for s in range(start, n, chunk):
@@ -412,11 +414,14 @@ class DirectVOChunked:
                 next_s - last_saved >= checkpoint_every or stop
             ):
                 from ..utils import checkpoint as ckpt
-                from .cam_lidar_pipeline import _cat as _catd
 
                 done = next_s - 1
-                tq = np.asarray(_catd(qs_chunks))
-                tt = np.asarray(_catd(ts_chunks))
+                for c in qs_chunks[len(host_q):]:
+                    host_q.append(np.asarray(c))
+                for c in ts_chunks[len(host_t):]:
+                    host_t.append(np.asarray(c))
+                tq = np.concatenate(host_q)
+                tt = np.concatenate(host_t)
                 if prefix is not None:
                     tq = np.concatenate([prefix[0], tq])
                     tt = np.concatenate([prefix[1], tt])
@@ -450,6 +455,7 @@ class DirectVOChunked:
         qs = np.concatenate([ident, qs])
         ts = np.concatenate([np.zeros((1, 3), np.float32), ts])
         if progress:
-            print(f"direct-VO fused: {n} frames in {wall:.2f}s "
-                  f"→ {(n - 1) / wall:.1f} fps")
+            done = max(n - start, 1)
+            print(f"direct-VO fused: {n} frames ({done} computed) in "
+                  f"{wall:.2f}s → {done / wall:.1f} fps")
         return ts, qs, wall

@@ -123,6 +123,11 @@ class OdometryPipeline:
             state = lo.init_state(reg0.features)
             start = 1
 
+        host_q: list = []   # host copies of already-fetched chunks — each
+        host_t: list = []   # save pulls only the NEW chunks (a full-traj
+                            # _cat per save would be O(N²) D2H and a fresh
+                            # remote compile per distinct chunk count)
+
         def maybe_checkpoint(next_s, chunks_q, chunks_t):
             """Write a snapshot covering frames [0, next_s); returns True
             when the run should stop (``stop_after`` reached)."""
@@ -132,10 +137,14 @@ class OdometryPipeline:
             ):
                 from ..utils import checkpoint as ckpt
 
-                got_q = np.asarray(_cat(chunks_q)) if chunks_q else \
-                    np.zeros((0, 4), np.float32)
-                got_t = np.asarray(_cat(chunks_t)) if chunks_t else \
-                    np.zeros((0, 3), np.float32)
+                for c in chunks_q[len(host_q):]:
+                    host_q.append(np.asarray(c))
+                for c in chunks_t[len(host_t):]:
+                    host_t.append(np.asarray(c))
+                got_q = (np.concatenate(host_q) if host_q
+                         else np.zeros((0, 4), np.float32))
+                got_t = (np.concatenate(host_t) if host_t
+                         else np.zeros((0, 3), np.float32))
                 if prefix_q is not None:
                     tq = np.concatenate([prefix_q, got_q])
                     tt = np.concatenate([prefix_t, got_t])
@@ -222,9 +231,13 @@ class OdometryPipeline:
             qs = np.concatenate(
                 [[np.array([1.0, 0, 0, 0], np.float32)], all_q])[:n]
             ts = np.concatenate([[np.zeros(3, np.float32)], all_t])[:n]
+        done = max(n - start, 1)   # frames COMPUTED this call (resume
+                                   # replays nothing — fps over the full
+                                   # length would be fabricated)
         if progress:
-            print(f"{n} frames in {wall:.2f}s → {(n - 1)/wall:.1f} fps")
-        return TrajectoryResult(ts, qs, per_frame_s=[wall / (n - 1)] * n)
+            print(f"{n} frames ({done} computed) in {wall:.2f}s → "
+                  f"{done/wall:.1f} fps")
+        return TrajectoryResult(ts, qs, per_frame_s=[wall / done] * n)
 
 
 class FullPipeline:
@@ -357,6 +370,8 @@ class FullPipeline:
         # program for every dispatch; padded outputs are dropped below
         lcfg = self.cfg.lidar
         chunks = []
+        host4: list = []   # host copies of fetched chunks (incremental —
+                           # see OdometryPipeline.maybe_checkpoint)
         n_done = len(scans)
         last_saved = start
         for s in range(start, len(scans), chunk):
@@ -394,7 +409,9 @@ class FullPipeline:
             ):
                 from ..utils import checkpoint as ckpt
 
-                got = [np.asarray(_cat([c[i] for c in chunks]))
+                for c in chunks[len(host4):]:
+                    host4.append(tuple(np.asarray(x) for x in c))
+                got = [np.concatenate([h[i] for h in host4])
                        for i in range(4)]
                 iq = np.array([[1.0, 0, 0, 0]], np.float32)
                 zt = np.zeros((1, 3), np.float32)
@@ -439,10 +456,11 @@ class FullPipeline:
                 return np.concatenate([prefix[i], fetched[i]])[:n]
             return np.concatenate([first, fetched[i]])[:n]
 
-        per = [wall / (n - 1)] * n
+        done = max(n - start, 1)
+        per = [wall / done] * n
         odom = TrajectoryResult(cat(zero_t, 1), cat(ident_q, 0), per_frame_s=per)
         mapped = TrajectoryResult(cat(zero_t, 3), cat(ident_q, 2), per_frame_s=per)
         if progress:
-            print(f"odom+map(fused): {n} frames in {wall:.2f}s "
-                  f"→ {(n - 1)/wall:.1f} fps")
+            print(f"odom+map(fused): {n} frames ({done} computed) in "
+                  f"{wall:.2f}s → {done/wall:.1f} fps")
         return odom, mapped

@@ -150,14 +150,12 @@ class DistributedCamLidarPipeline(DistributedSlamPipeline):
 
         if self._prev_pyr is None:
             # frame-0 bootstrap ≡ CamLidarPipeline.run_chunked: host-side
-            # camera cloud, replenish-only table
-            cam_pts = raw @ self.R_cl.T + self.t_cl
-            cam_pts = cam_pts[cam_pts[:, 2] > 0.3]
-            cap = cfg.depth_cloud_cap
-            if cam_pts.shape[0] > cap:
-                stride = -(-cam_pts.shape[0] // cap)
-                cam_pts = cam_pts[::stride][:cap]
-            cxyz, cmask = pc.pad_points(cam_pts, cap)
+            # camera cloud (shared selection helper), replenish-only table
+            from ..models.cam_lidar_pipeline import camera_cloud_select
+
+            cxyz, cmask = camera_cloud_select(
+                raw, self.R_cl, self.t_cl, cfg.depth_cloud_cap
+            )
             dc = vf.build_depth_cloud(jnp.asarray(cxyz), jnp.asarray(cmask))
             self.table = vf._replenish_jit(
                 vf.empty_table(cfg.max_tracked), pyr[0], self.cam,
@@ -232,17 +230,20 @@ class DistributedCamLidarPipeline(DistributedSlamPipeline):
             odom_t.append(self.pose_w.t)
             mapped.append(refined)
             vis.append(pose_cam)
-        jax.block_until_ready(mapped[-1])
+        # force a real D2H before reading the clock (CLAUDE.md measurement
+        # trap: block_until_ready on the axon relay returns without
+        # draining)
+        np.asarray(mapped[-1].t)
+        wall = time.time() - t0
         _, vt = _map_cam_poses_to_lidar(
             jnp.stack([p.q for p in vis]), jnp.stack([p.t for p in vis]),
             self.T_lidar_cam, self.T_cam_lidar,
         )
-        wall = time.time() - t0
         if progress:
             n = len(mapped)
             print(
                 f"distributed cam-lidar ({self.mesh.shape}): {n} frames in "
-                f"{wall:.2f}s → {n / wall:.1f} fps"
+                f"{wall:.2f}s → {(n - 1) / wall:.1f} fps"
             )
         return (
             np.stack([np.asarray(t) for t in odom_t]),

@@ -158,7 +158,9 @@ class DistributedSlamPipeline:
             refined = self.process_scan(np.asarray(pts), map_skip=map_skip)
             odom_t.append(self.pose_w.t)
             mapped.append(refined)
-        jax.block_until_ready(mapped[-1])
+        # real D2H before the clock (axon: block_until_ready returns
+        # without draining — CLAUDE.md measurement trap)
+        np.asarray(mapped[-1].t)
         wall = time.time() - t0
         if progress:
             print(

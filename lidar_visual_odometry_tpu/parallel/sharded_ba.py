@@ -15,6 +15,8 @@ replicate; at 5 keyframes of VGA-class pyramids that is a few MB per device.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -38,8 +40,13 @@ def sharded_refine(
     n_iters: int = 5,
     level: int = 1,
     tdist_dof: float = 5.0,
+    sample_precision=jax.lax.Precision.HIGH,
+    pair_radius: int = 0,
 ) -> se3.Pose:
-    """Drop-in distributed version of ``window_ba.refine``.
+    """Drop-in distributed version of ``window_ba.refine`` — including its
+    ``sample_precision`` / ``pair_radius`` knobs, so the distributed BA can
+    reproduce the shipped direct-VO configuration
+    (``ba_sample_precision="bf16"``, ``ba_pair_radius=2``).
 
     Note the one semantic deviation: the robust-weight scale uses a *mean*
     absolute residual (psum-able in O(1)) instead of the median/MAD — a
@@ -50,21 +57,28 @@ def sharded_refine(
     K, P_total = point_mask.shape
     imgs = pyramids[level]
     cam_l = _level_cam(cam, level)
-    hs, ts = jnp.nonzero(~jnp.eye(K, dtype=bool), size=K * (K - 1))
+    sel = ~np.eye(K, dtype=bool)
+    if pair_radius > 0:
+        ij = np.abs(np.arange(K)[:, None] - np.arange(K)[None, :])
+        sel &= ij <= pair_radius
+    hs_np, ts_np = np.nonzero(sel)
+    hs, ts = jnp.asarray(hs_np, jnp.int32), jnp.asarray(ts_np, jnp.int32)
 
     def body(imgs, points, point_mask, poses):
         # pose-independent hoists (mirrors window_ba.refine)
         grads = window_ba.image.gradients(imgs)
         i_ref_p, ok_h_p = jax.vmap(
             lambda h: window_ba._pair_ref_samples(
-                imgs, points, point_mask, h, cam_l
+                imgs, points, point_mask, h, cam_l,
+                precision=sample_precision,
             )
         )(hs)
 
         def system(poses):
             r, J, ok = jax.vmap(
                 lambda h, t, i_ref, ok_h: window_ba._pair_residuals(
-                    imgs, grads, i_ref, ok_h, points, poses, h, t, cam_l
+                    imgs, grads, i_ref, ok_h, points, poses, h, t, cam_l,
+                    precision=sample_precision,
                 )
             )(hs, ts, i_ref_p, ok_h_p)
             w_ok = ok[..., None].astype(r.dtype)

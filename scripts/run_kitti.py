@@ -185,8 +185,16 @@ def main() -> None:
             dvo = DirectVOChunked(cam, cfg.visual, point_cap=2048)
             dkw = dict(ckpt_kw)
             if dkw["checkpoint_path"]:
-                dkw["checkpoint_path"] = dkw["checkpoint_path"].replace(
-                    ".ckpt.npz", "_direct.ckpt.npz"
+                # derive the direct-VO companion path robustly: a custom
+                # --checkpoint-path may not end in .ckpt.npz, and a no-op
+                # replace would make BOTH pipelines write the same file
+                # (the direct save would clobber the cam-lidar snapshot)
+                import re
+
+                p = dkw["checkpoint_path"]
+                p2 = re.sub(r"(\.ckpt\.npz|\.npz)$", r"_direct\1", p)
+                dkw["checkpoint_path"] = (
+                    p2 if p2 != p else p + "_direct.npz"
                 )
             ts_d, qs_d, _ = dvo.run_chunked(
                 images, clouds, cmasks, chunk=args.chunk, **dkw
@@ -247,10 +255,16 @@ def main() -> None:
             visual_result.lidar_quats, visual_result.lidar_positions,
         )
 
+    # a resumed run only COMPUTED the tail — fps over the full trajectory
+    # length would fabricate throughput (the prefix cost nothing this run)
+    processed = n - 1
+    if args.resume and os.path.exists(ckpt_path):
+        start = int(np.load(ckpt_path)["frame_idx"])
+        processed = max(n - start, 1)
     report = {
         "sequence": args.sequence,
         "frames": n,
-        "fps": round((n - 1) / wall, 2),
+        "fps": round(processed / wall, 2),
         "mode": ("coupled" if args.coupled else
                  "camera" if args.camera else
                  "mapping" if args.mapping else "odometry")

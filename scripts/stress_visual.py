@@ -203,11 +203,7 @@ def main() -> None:
         ts_d, qs_d, wall_d = dvo.run_chunked(
             images, clouds, cmasks, chunk=args.chunk
         )
-        _, vt = _map_cam_poses_to_lidar(
-            jnp.asarray(qs_d), jnp.asarray(ts_d),
-            clp.T_lidar_cam, clp.T_cam_lidar,
-        )
-        dq, _ = _map_cam_poses_to_lidar(
+        dq, vt = _map_cam_poses_to_lidar(
             jnp.asarray(qs_d), jnp.asarray(ts_d),
             clp.T_lidar_cam, clp.T_cam_lidar,
         )

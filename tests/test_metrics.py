@@ -97,11 +97,19 @@ def test_readme_results_match_latest_bench():
     block = block.group(0)
     if "bench.py (local run)" in block:
         # bench.py rewrote the block from its own fresh output — it
-        # POSTDATES every BENCH_r*.json capture, so comparing to the newest
-        # capture would flag exactly the freshness we want. (The driver's
+        # POSTDATES every BENCH_r*.json capture, so compare against the
+        # source record that regeneration persisted (.bench_last.json)
+        # instead; hand-edits to the block still fail. (The driver's
         # end-of-round capture is that same bench run, so the committed
         # README and BENCH_rN.json agree at every round boundary.)
-        return
+        last = os.path.join(here, ".bench_last.json")
+        assert os.path.exists(last), (
+            "README says 'bench.py (local run)' but .bench_last.json is "
+            "missing — rerun python bench.py or "
+            "scripts/update_readme_results.py"
+        )
+        with open(last) as f:
+            parsed = json.load(f)["parsed"]
     for key, fmt in [
         ("value", "{:.1f}"), ("slam_frames_per_s", "{:.1f}"),
         ("camlidar_frames_per_s", "{:.1f}"),
