@@ -169,9 +169,13 @@ def track_pyramid(
             # gather-free Pallas kernel: pyramid level resident in VMEM,
             # patches via aligned slices + rolls; template gradients are
             # derived in-kernel, so no gradient images are computed here
+            # batch8: one shared while_loop iterating 8 features as
+            # independent straight-line chains — 1.8× on the non-affine
+            # levels (per-feature while_loops are scheduling barriers;
+            # hardware A/B + bit-exact parity in scripts/exp_lk_batch.py)
             d, ok = pallas_lk.lk_level(
                 img0, img1, uv0 / s, d, active, win=win, iters=it,
-                eps=eps, affine=aff,
+                eps=eps, affine=aff, batch8=True,
             )
         else:
             gx, gy = gradients(img0)

@@ -95,11 +95,10 @@ def _solve6(L, b):
     return x
 
 
-def _lk_level_kernel(win, iters, eps, affine, mxu, H, Hpad, W, fb,
-                     q_ref, i0_ref, i1_ref, out_ref):
-    Wpad = i0_ref.shape[1]
+def _make_samplers(win, H, Hpad, W, Wpad):
+    """strip/mix/corner sampling helpers shared by the per-feature and the
+    batch8 kernel bodies (closure over the level geometry)."""
     rows = _strip_rows(win)
-    r = (win - 1) / 2.0
 
     def corner(xf, yf, w):
         """Clamped integer corner + fractions + aligned strip base."""
@@ -138,6 +137,16 @@ def _lk_level_kernel(win, iters, eps, affine, mxu, H, Hpad, W, fb,
         v = s[: w + 1, :]
         v = v[:w, :] * (1.0 - fy) + v[1: w + 1, :] * fy
         return v[:, :w] * (1.0 - fx) + v[:, 1: w + 1] * fx
+
+    return corner, strip, mix
+
+
+def _lk_level_kernel(win, iters, eps, affine, mxu, unroll, H, Hpad, W,
+                     fb, q_ref, i0_ref, i1_ref, out_ref):
+    Wpad = i0_ref.shape[1]
+    rows = _strip_rows(win)
+    r = (win - 1) / 2.0
+    corner, strip, mix = _make_samplers(win, H, Hpad, W, Wpad)
 
     def sample_mxu(ref, xf, yf, w, margin):
         """Bilinear (w, w) patch as TWO two-tap one-hot MXU contractions:
@@ -312,11 +321,177 @@ def _lk_level_kernel(win, iters, eps, affine, mxu, H, Hpad, W, fb,
 
         return 0
 
-    jax.lax.fori_loop(0, fb, per_feature, 0)
+    jax.lax.fori_loop(0, fb, per_feature, 0, unroll=unroll)
+
+
+def _lk_level_kernel_b8(win, iters, eps, affine, H, Hpad, W, fb,
+                        q_ref, i0_ref, i1_ref, out_ref):
+    """Batched-feature body: ONE shared while_loop iterates all ``fb``
+    features together, with per-feature masked convergence.
+
+    Why: the per-feature kernel is bound by each feature's serial
+    sample→solve dependency chain, and separate ``while_loop``s are
+    control-flow barriers Mosaic cannot interleave (measured: engine swap
+    and fori unrolling both change nothing — BASELINE roofline). Here the
+    loop BODY contains ``fb`` independent sample chains in one straight-line
+    block, giving the scheduler real instruction-level parallelism. Cost:
+    the shared loop runs to the LAST unconverged feature (each converged
+    feature freezes via masks, but still samples); with coherent warm
+    starts the per-feature iteration counts cluster, so the max ≈ the mean.
+    Semantics match the per-feature kernel exactly (same update order, same
+    eps freeze, same ok gating) — parity asserted on hardware in
+    scripts/exp_lk_batch.py."""
+    Wpad = i0_ref.shape[1]
+    r = (win - 1) / 2.0
+    corner, strip, mix = _make_samplers(win, H, Hpad, W, Wpad)
+
+    def sample(ref, xf, yf):
+        s, fx, fy = strip(ref, xf, yf, win + 1)
+        return mix(s, fx, fy, win)
+
+    acts = [q_ref[f, 4] > 0.0 for f in range(fb)]
+    any_act = acts[0]
+    for f in range(1, fb):
+        any_act = any_act | acts[f]
+
+    @pl.when(any_act)
+    def _block():
+        # ---- per-feature setup (template sample + normal factors) ----
+        txs, tys, d0s = [], [], []
+        ts, jxs, jys, oks = [], [], [], []
+        setups = []
+        if affine:
+            rr = jnp.float32(r)
+            oxg = jax.lax.broadcasted_iota(
+                jnp.int32, (win, win), 1
+            ).astype(jnp.float32) - rr
+            oyg = jax.lax.broadcasted_iota(
+                jnp.int32, (win, win), 0
+            ).astype(jnp.float32) - rr
+        for f in range(fb):
+            x = q_ref[f, 0]
+            y = q_ref[f, 1]
+            d0s.append((q_ref[f, 2], q_ref[f, 3]))
+            tx = x - r
+            ty = y - r
+            txs.append(tx)
+            tys.append(ty)
+            s, fx, fy = strip(i0_ref, tx - 1.0, ty - 1.0, win + 3)
+            p = mix(s, fx, fy, win + 2)
+            t = p[1: win + 1, 1: win + 1]
+            jx = 0.5 * (p[1: win + 1, 2: win + 2] - p[1: win + 1, 0:win])
+            jy = 0.5 * (p[2: win + 2, 1: win + 1] - p[0:win, 1: win + 1])
+            ts.append(t)
+            jxs.append(jx)
+            jys.append(jy)
+            a11 = jnp.sum(jx * jx)
+            a12 = jnp.sum(jx * jy)
+            a22 = jnp.sum(jy * jy)
+            det = a11 * a22 - a12 * a12
+            ok = det > 1e-9
+            oks.append(ok)
+            if not affine:
+                inv_det = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-12), 0.0)
+                setups.append((a11, a12, a22, inv_det))
+            else:
+                cols = (jx, jy, jx * oxg, jx * oyg, jy * oxg, jy * oyg)
+                Hm = [[None] * 6 for _ in range(6)]
+                for ii in range(6):
+                    for jj in range(ii + 1):
+                        v = jnp.sum(cols[ii] * cols[jj])
+                        if ii == jj:
+                            if ii >= 2:
+                                v = v * (1.0 + _AFF_DAMP)
+                            v = v + 1e-6
+                        Hm[ii][jj] = v
+                        Hm[jj][ii] = v
+                setups.append((cols, _chol6(Hm)))
+
+        npar = 2 if not affine else 6
+        inf = jnp.float32(jnp.inf)
+        zero = jnp.float32(0.0)
+        # inactive rows start frozen (dd2 = 0 < eps²) so they never update
+        # and never extend the shared loop
+        dd2_init = [jnp.where(acts[f], inf, zero) for f in range(fb)]
+        params0 = []
+        for f in range(fb):
+            d = [d0s[f][0], d0s[f][1]] + [zero] * (npar - 2)
+            params0.extend(d)
+
+        def cond(c):
+            i = c[0]
+            dd2s = c[1: 1 + fb]
+            m = dd2s[0]
+            for f in range(1, fb):
+                m = jnp.maximum(m, dd2s[f])
+            return (i < iters) & (m >= eps * eps)
+
+        def body(c):
+            i = c[0]
+            dd2s = list(c[1: 1 + fb])
+            ps = list(c[1 + fb:])
+            # fb INDEPENDENT sample chains in one straight-line block
+            curs = [
+                sample(i1_ref, txs[f] + ps[f * npar],
+                       tys[f] + ps[f * npar + 1])
+                for f in range(fb)
+            ]
+            new_dd2, new_ps = [], []
+            for f in range(fb):
+                pf = ps[f * npar: (f + 1) * npar]
+                live = dd2s[f] >= eps * eps
+                if not affine:
+                    a11, a12, a22, inv_det = setups[f]
+                    e = curs[f] - ts[f]
+                    b1 = jnp.sum(e * jxs[f])
+                    b2 = jnp.sum(e * jys[f])
+                    dp = [inv_det * (a22 * b1 - a12 * b2),
+                          inv_det * (a11 * b2 - a12 * b1)]
+                else:
+                    cols, L = setups[f]
+                    e = (
+                        curs[f] - ts[f]
+                        + (pf[2] * oxg + pf[3] * oyg) * jxs[f]
+                        + (pf[4] * oxg + pf[5] * oyg) * jys[f]
+                    )
+                    b = [jnp.sum(e * cols[ii]) for ii in range(6)]
+                    dp = _solve6(L, b)
+                step2 = dp[0] * dp[0] + dp[1] * dp[1]
+                new_ps.extend(
+                    jnp.where(live, pf[k] - dp[k], pf[k])
+                    for k in range(npar)
+                )
+                new_dd2.append(jnp.where(live, step2, dd2s[f]))
+            return tuple([i + 1] + new_dd2 + new_ps)
+
+        out = jax.lax.while_loop(
+            cond, body, tuple([jnp.int32(0)] + dd2_init + params0)
+        )
+        ps = out[1 + fb:]
+        for f in range(fb):
+            dx = ps[f * npar]
+            dy = ps[f * npar + 1]
+            if affine:
+                # degenerate templates return the untouched guess (mirrors
+                # the per-feature kernel / XLA path)
+                dx = jnp.where(oks[f], dx, d0s[f][0])
+                dy = jnp.where(oks[f], dy, d0s[f][1])
+            out_ref[f, 0] = jnp.where(acts[f], dx, d0s[f][0])
+            out_ref[f, 1] = jnp.where(acts[f], dy, d0s[f][1])
+            out_ref[f, 2] = (oks[f] & acts[f]).astype(jnp.float32)
+            out_ref[f, 3] = jnp.float32(0.0)
+
+    @pl.when(~any_act)
+    def _skip_block():
+        for f in range(fb):
+            out_ref[f, 0] = q_ref[f, 2]
+            out_ref[f, 1] = q_ref[f, 3]
+            out_ref[f, 2] = jnp.float32(0.0)
+            out_ref[f, 3] = jnp.float32(0.0)
 
 
 @partial(jax.jit, static_argnames=("win", "iters", "eps", "fb", "affine",
-                                   "mxu", "interpret"))
+                                   "mxu", "unroll", "batch8", "interpret"))
 def lk_level(
     img0: jax.Array,    # (H, W) float32
     img1: jax.Array,
@@ -330,6 +505,8 @@ def lk_level(
     fb: int = 8,
     affine: bool = False,
     mxu: bool = False,
+    unroll: int = 1,
+    batch8: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Refined displacement + Hessian-ok flag for one pyramid level.
@@ -364,9 +541,15 @@ def lk_level(
     q = jnp.concatenate(
         [uv0.astype(jnp.float32), guess.astype(jnp.float32), act], axis=-1
     )  # (N, 5)
+    kern = (
+        partial(_lk_level_kernel_b8, win, iters, eps, affine, H, Hpad, W,
+                fb)
+        if batch8 else
+        partial(_lk_level_kernel, win, iters, eps, affine, mxu, unroll,
+                H, Hpad, W, fb)
+    )
     out = pl.pallas_call(
-        partial(_lk_level_kernel, win, iters, eps, affine, mxu, H, Hpad, W,
-                fb),
+        kern,
         grid=(N // fb,),
         in_specs=[
             pl.BlockSpec((fb, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
