@@ -454,6 +454,13 @@ def _lk_level_kernel_b8(win, iters, eps, affine, H, Hpad, W, fb,
                         + (pf[2] * oxg + pf[3] * oyg) * jxs[f]
                         + (pf[4] * oxg + pf[5] * oyg) * jys[f]
                     )
+                    # (A separable-sum restructure of these six reductions
+                    # — factoring the ox/oy ramps through row/column partial
+                    # sums — verified in interpret mode but produced 4-px
+                    # outliers vs the per-feature kernel ON HARDWARE; the
+                    # direct 2-D sums are kept. Same lesson as the
+                    # strip-rows corruption: validate every Mosaic
+                    # reduction-shape change on the chip.)
                     b = [jnp.sum(e * cols[ii]) for ii in range(6)]
                     dp = _solve6(L, b)
                 step2 = dp[0] * dp[0] + dp[1] * dp[1]
