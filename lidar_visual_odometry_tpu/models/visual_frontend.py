@@ -551,6 +551,7 @@ def visual_step(
         iters_coarse=cfg.lk_iters_coarse or None,
         eps=cfg.lk_eps,
         affine=cfg.lk_affine,
+        reverse_affine=cfg.lk_reverse_affine,
     )
     table, rel, new_pose_w = solve_and_update(
         uv1, ok, prev_dc, table, pose_w, warm_rel, cam, cfg
@@ -640,6 +641,7 @@ def chunk_frame_step(
         iters_coarse=cfg.lk_iters_coarse or None,
         eps=cfg.lk_eps,
         affine=cfg.lk_affine,
+        reverse_affine=cfg.lk_reverse_affine,
     )
     table, rel, pose_w = solve_and_update(
         uv1, ok, carry.prev_dc, carry.table, carry.pose_w,

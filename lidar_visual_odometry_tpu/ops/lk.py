@@ -197,7 +197,7 @@ def track_pyramid(
 
 @partial(jax.jit, static_argnames=("win", "iters", "levels",
                                    "reverse_levels", "iters_coarse", "eps",
-                                   "affine"))
+                                   "affine", "reverse_affine"))
 def track_pyramid_reverse_checked(
     pyr0: tuple, pyr1: tuple, uv0: jax.Array,
     active: jax.Array | None = None,
@@ -208,6 +208,7 @@ def track_pyramid_reverse_checked(
     iters_coarse: int | None = None,
     eps: float = 0.0,
     affine: bool = False,
+    reverse_affine: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward + reverse track with round-trip gate ≤ max_reverse_err px.
 
@@ -219,6 +220,17 @@ def track_pyramid_reverse_checked(
     kernel) by ~(levels - reverse_levels)/(2·levels); None = full reverse
     (the reference's cv::calcOpticalFlowPyrLK round trip,
     featureTracking.cpp:214-237).
+
+    reverse_affine=False keeps the forward solve affine but runs the
+    reverse GATE translation-only. The affine reverse call costs the full
+    affine setup (the 21 column sums + Cholesky per feature) even when the
+    warm-started loop exits after 1-2 iterations — 3.62 vs 0.84 ms/call on
+    v5e at the bench shape — but disabling it MEASURED WORSE end-to-end
+    (scripts/exp_lk_reverse_affine.py: ate_visual 0.0821 → 0.1532 m for
+    +4 fps): the translation-only reverse leg re-absorbs patch deformation
+    into its round-trip error, so the 1 px gate preferentially rejects
+    high-zoom (near, high-parallax) features — the most informative rows
+    of the pose solve. Default True; the knob records the experiment.
     """
     uv1, ok_f = track_pyramid(
         pyr0, pyr1, uv0, init_d, active,
@@ -231,7 +243,7 @@ def track_pyramid_reverse_checked(
     uv0_back, ok_b = track_pyramid(
         pyr1[:rl], pyr0[:rl], uv1, uv0 - uv1, act_b,
         win=win, iters=iters, levels=rl, iters_coarse=iters_coarse,
-        eps=eps, affine=affine,
+        eps=eps, affine=affine and reverse_affine,
     )
     err = jnp.linalg.norm(uv0_back - uv0, axis=-1)
     return uv1, ok_f & ok_b & (err <= max_reverse_err)

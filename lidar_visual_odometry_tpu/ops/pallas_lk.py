@@ -340,7 +340,13 @@ def _lk_level_kernel_b8(win, iters, eps, affine, H, Hpad, W, fb,
     starts the per-feature iteration counts cluster, so the max ≈ the mean.
     Semantics match the per-feature kernel exactly (same update order, same
     eps freeze, same ok gating) — parity asserted on hardware in
-    scripts/exp_lk_batch.py."""
+    scripts/exp_lk_batch.py.
+
+    Block size: fb=8 is the measured optimum (scripts/exp_lk_fb.py —
+    8/16/32 → 1.55/2.24/2.31 ms non-affine, 3.56/3.89/4.19 affine on v5e
+    at the bench shape): 8 chains already saturate the scheduler, and a
+    bigger block both raises register/VMEM pressure and makes the shared
+    loop wait on a larger block's slowest feature."""
     Wpad = i0_ref.shape[1]
     r = (win - 1) / 2.0
     corner, strip, mix = _make_samplers(win, H, Hpad, W, Wpad)

@@ -71,6 +71,7 @@ def sharded_visual_step(
             iters_coarse=cfg.lk_iters_coarse or None,
             eps=cfg.lk_eps,
             affine=cfg.lk_affine,
+            reverse_affine=cfg.lk_reverse_affine,
         )
         # row-wise gates shared verbatim with the unsharded path
         # (visual_frontend.depth_gates): each device evaluates its feature

@@ -180,6 +180,22 @@ class VisualConfig:
                                       # featureTracking.cpp:203-211, carries
                                       # this bias); measured flow bias
                                       # 0.5→0.02 px on the corridor bench
+    lk_reverse_affine: bool = True    # affine solve on the reverse GATE
+                                      # leg too. Tempting to disable: the
+                                      # affine setup costs ~3.6 vs 0.84
+                                      # ms/call even when the warm-started
+                                      # loop exits immediately. MEASURED
+                                      # WORSE (v5e bench corridor,
+                                      # scripts/exp_lk_reverse_affine.py):
+                                      # 70.7 fps / ate_visual 0.1532 m vs
+                                      # 66.5 / 0.0821 — the translation-
+                                      # only reverse leg re-absorbs patch
+                                      # deformation into its round-trip
+                                      # error, so the 1 px gate
+                                      # preferentially kills high-zoom
+                                      # (near, high-parallax) features —
+                                      # the most informative rows of the
+                                      # pose solve. Keep the affine gate.
     reverse_check_px: float = 1.0     # fwd/bwd consistency gate (featureTracking.cpp:214-237)
     lk_reverse_levels: int = 0        # 0 = full-pyramid reverse (reference);
                                       # n>0: shallow reverse over the finest n

@@ -407,3 +407,42 @@ def test_shallow_reverse_check_matches_full(rng):
     assert of.sum() > 32
     # shallow keeps ≥95% of the full-reverse inlier set
     assert (of & os_).sum() >= 0.95 * of.sum()
+
+
+def test_reverse_affine_gate_leaves_forward_flow_unchanged(rng):
+    """lk_reverse_affine only changes the reverse GATE leg: the accepted
+    forward flow (uv1) must be bit-identical either way, and on clean
+    translation the translation-only gate must keep (almost) the same
+    inlier set. (End-to-end the affine gate is the accuracy winner —
+    scripts/exp_lk_reverse_affine.py — this pins the invariant that makes
+    the knob safe to sweep.)"""
+    from lidar_visual_odometry_tpu.ops import image, lk
+
+    H, W = 96, 160
+    yy, xx = np.mgrid[0:H, 0:W]
+    img0 = (0.5 + 0.25 * np.sin(0.4 * xx) * np.cos(0.3 * yy)
+            + 0.15 * np.sin(0.9 * xx + 1.3 * yy)).astype(np.float32)
+    dx, dy = 2.4, -1.7
+    img1 = (0.5 + 0.25 * np.sin(0.4 * (xx - dx)) * np.cos(0.3 * (yy - dy))
+            + 0.15 * np.sin(0.9 * (xx - dx) + 1.3 * (yy - dy))).astype(
+        np.float32
+    )
+    pyr0 = tuple(image.build_pyramid(jnp.asarray(img0), 3))
+    pyr1 = tuple(image.build_pyramid(jnp.asarray(img1), 3))
+    uv = jnp.asarray(
+        np.stack([rng.uniform(20, W - 20, 64),
+                  rng.uniform(20, H - 20, 64)], -1).astype(np.float32)
+    )
+    uv_a, ok_a = lk.track_pyramid_reverse_checked(
+        pyr0, pyr1, uv, win=15, iters=10, levels=3, max_reverse_err=1.0,
+        affine=True, reverse_affine=True,
+    )
+    uv_t, ok_t = lk.track_pyramid_reverse_checked(
+        pyr0, pyr1, uv, win=15, iters=10, levels=3, max_reverse_err=1.0,
+        affine=True, reverse_affine=False,
+    )
+    np.testing.assert_array_equal(np.asarray(uv_a), np.asarray(uv_t))
+    oa, ot = np.asarray(ok_a), np.asarray(ok_t)
+    assert oa.sum() > 32
+    # pure translation has no deformation to absorb: gates must agree
+    assert (oa & ot).sum() >= 0.95 * oa.sum()
