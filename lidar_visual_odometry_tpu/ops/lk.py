@@ -29,7 +29,8 @@ def _window_offsets(win: int, dtype=jnp.float32):
 
 
 def _track_level(img0, img1, gx, gy, uv0, guess, *, win: int, iters: int,
-                 affine: bool = False):
+                 affine: bool = False, fixed_affine=None,
+                 return_affine: bool = False):
     """One pyramid level of inverse-compositional KLT for all features.
 
     uv0 (N, 2): feature coords in img0 at this level; guess (N, 2): current
@@ -50,8 +51,10 @@ def _track_level(img0, img1, gx, gy, uv0, guess, *, win: int, iters: int,
     bias; the 6-DOF solve removes it at unchanged sampling cost.
     """
     offs = _window_offsets(win, img0.dtype)                 # (W2, 2)
+    if fixed_affine is None:
+        fixed_affine = jnp.zeros((uv0.shape[0], 4), img0.dtype)
 
-    def per_feature(uv, d):
+    def per_feature(uv, d, fa):
         pts0 = uv[None, :] + offs                            # (W2, 2)
         t = bilinear(img0, pts0)                             # template
         jx = bilinear(gx, pts0)
@@ -65,10 +68,15 @@ def _track_level(img0, img1, gx, gy, uv0, guess, *, win: int, iters: int,
 
         if not affine:
             inv_det = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-12), 0.0)
+            ox, oy = offs[:, 0], offs[:, 1]
+            # constant deformation feedback (the reverse-gate mode: the
+            # forward solve's fitted params, negated); exact no-op at 0
+            corr = (fa[0] * ox + fa[1] * oy) * jx \
+                + (fa[2] * ox + fa[3] * oy) * jy
 
             def body(i, d):
                 cur = bilinear(img1, pts0 + d[None, :])
-                e = cur - t
+                e = cur - t + corr
                 b1 = jnp.sum(e * jx)
                 b2 = jnp.sum(e * jy)
                 dd = inv_det * jnp.stack(
@@ -77,7 +85,7 @@ def _track_level(img0, img1, gx, gy, uv0, guess, *, win: int, iters: int,
                 return d - dd
 
             d = jax.lax.fori_loop(0, iters, body, d)
-            return d, ok
+            return d, ok, jnp.zeros(4, img0.dtype)
 
         ox, oy = offs[:, 0], offs[:, 1]
         J = jnp.stack([jx, jy, jx * ox, jx * oy, jy * ox, jy * oy], -1)
@@ -105,25 +113,30 @@ def _track_level(img0, img1, gx, gy, uv0, guess, *, win: int, iters: int,
             dp = Hinv @ (J.T @ e)
             return d - dp[:2], A - dp[2:]
 
-        d, _ = jax.lax.fori_loop(
+        d, A = jax.lax.fori_loop(
             0, iters, body, (d, jnp.zeros(4, img0.dtype))
         )
-        return d, ok
+        return d, ok, jnp.where(ok, A, 0.0)
 
-    return jax.vmap(per_feature)(uv0, guess)
+    d, ok, A = jax.vmap(per_feature)(uv0, guess, fixed_affine)
+    if return_affine:
+        return d, ok, A
+    return d, ok
 
 
 @partial(jax.jit, static_argnames=("win", "iters", "levels", "iters_coarse",
-                                   "eps", "affine"))
+                                   "eps", "affine", "return_affine"))
 def track_pyramid(
     pyr0: tuple, pyr1: tuple, uv0: jax.Array,
     init_d: jax.Array | None = None,
     active: jax.Array | None = None,
+    fixed_affine: jax.Array | None = None,
     *, win: int = 25, iters: int = 10, levels: int = 4,
     iters_coarse: int | None = None,
     eps: float = 0.0,
     affine: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    return_affine: bool = False,
+):
     """Track features uv0 (N, 2, level-0 pixels) from pyr0 to pyr1.
 
     Coarse-to-fine over ``levels``; returns (uv1 (N, 2), ok (N,)).
@@ -142,6 +155,11 @@ def track_pyramid(
     affine: run the 6-DOF deformation-compensated solve at the FINEST level
     (coarse levels only need the basin; the bias it removes is sub-pixel).
     See ``_track_level``.
+    fixed_affine: (N, 4) CONSTANT per-feature deformation correction
+    applied at the finest level (non-affine solve) — the cheap reverse-gate
+    mode fed by the forward pass's fitted params (negated).
+    return_affine: additionally return the finest level's fitted affine
+    params (N, 4) (requires ``affine``; zeros for not-ok rows).
     """
     scale_top = 2.0 ** (levels - 1)
     if init_d is None:
@@ -155,6 +173,7 @@ def track_pyramid(
     # gate levels smaller than the window onto the XLA path
     from . import pallas_lk
 
+    A_out = jnp.zeros((uv0.shape[0], 4), uv0.dtype)
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
         it = iters if (lvl == 0 or iters_coarse is None) else iters_coarse
@@ -165,6 +184,8 @@ def track_pyramid(
             and img0.shape[1] - win - 4 >= 0
         )
         aff = affine and lvl == 0
+        fixa = fixed_affine if lvl == 0 else None
+        ret_a = return_affine and aff
         if on_tpu and uv0.shape[0] % 8 == 0 and fits:
             # gather-free Pallas kernel: pyramid level resident in VMEM,
             # patches via aligned slices + rolls; template gradients are
@@ -173,16 +194,20 @@ def track_pyramid(
             # independent straight-line chains — 1.8× on the non-affine
             # levels (per-feature while_loops are scheduling barriers;
             # hardware A/B + bit-exact parity in scripts/exp_lk_batch.py)
-            d, ok = pallas_lk.lk_level(
-                img0, img1, uv0 / s, d, active, win=win, iters=it,
-                eps=eps, affine=aff, batch8=True,
+            res = pallas_lk.lk_level(
+                img0, img1, uv0 / s, d, active, fixa, win=win, iters=it,
+                eps=eps, affine=aff, batch8=True, return_affine=ret_a,
             )
         else:
             gx, gy = gradients(img0)
-            d, ok = _track_level(
+            res = _track_level(
                 img0, img1, gx, gy, uv0 / s, d, win=win, iters=it,
-                affine=aff,
+                affine=aff, fixed_affine=fixa, return_affine=ret_a,
             )
+        if ret_a:
+            d, ok, A_out = res
+        else:
+            d, ok = res
         ok_all = ok_all & ok
         if lvl > 0:
             d = d * 2.0
@@ -192,6 +217,8 @@ def track_pyramid(
         (uv1[:, 0] >= 1) & (uv1[:, 0] < W - 1)
         & (uv1[:, 1] >= 1) & (uv1[:, 1] < H - 1)
     )
+    if return_affine:
+        return uv1, ok_all & inb, A_out
     return uv1, ok_all & inb
 
 
@@ -208,7 +235,7 @@ def track_pyramid_reverse_checked(
     iters_coarse: int | None = None,
     eps: float = 0.0,
     affine: bool = False,
-    reverse_affine: bool = True,
+    reverse_affine: bool | str = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward + reverse track with round-trip gate ≤ max_reverse_err px.
 
@@ -221,29 +248,44 @@ def track_pyramid_reverse_checked(
     (the reference's cv::calcOpticalFlowPyrLK round trip,
     featureTracking.cpp:214-237).
 
-    reverse_affine=False keeps the forward solve affine but runs the
-    reverse GATE translation-only. The affine reverse call costs the full
-    affine setup (the 21 column sums + Cholesky per feature) even when the
-    warm-started loop exits after 1-2 iterations — 3.62 vs 0.84 ms/call on
-    v5e at the bench shape — but disabling it MEASURED WORSE end-to-end
-    (scripts/exp_lk_reverse_affine.py: ate_visual 0.0821 → 0.1532 m for
-    +4 fps): the translation-only reverse leg re-absorbs patch deformation
-    into its round-trip error, so the 1 px gate preferentially rejects
-    high-zoom (near, high-parallax) features — the most informative rows
-    of the pose solve. Default True; the knob records the experiment.
+    reverse_affine ∈ {"solve" (= True), "fixed", "none" (= False)} selects
+    the reverse GATE leg's deformation handling. The affine reverse call
+    costs the full affine setup (the 21 column sums + Cholesky per
+    feature) even when the warm-started loop exits after 1-2 iterations —
+    3.62 vs 0.84 ms/call on v5e at the bench shape. "none" MEASURED WORSE
+    end-to-end (scripts/exp_lk_reverse_affine.py: ate_visual 0.0821 →
+    0.1532 m for +4 fps): the translation-only reverse leg re-absorbs
+    patch deformation into its round-trip error, so the 1 px gate
+    preferentially rejects features. "fixed" corrects the reverse residual
+    with the FORWARD solve's fitted affine params, negated (the img1→img0
+    deformation is the inverse ≈ negation to first order) — no
+    reverse-side Gram/Cholesky setup at all. Measured (same harness):
+    "fixed" lands at 0.1445 m — barely better than "none" — so the solve
+    gate's value is the per-feature 6-DOF model-fit TEST itself, not
+    deformation compensation; "solve" stays the default and the cheap
+    modes are documented throughput-first alternatives (BASELINE.md).
     """
-    uv1, ok_f = track_pyramid(
+    mode = {True: "solve", False: "none"}.get(reverse_affine,
+                                              reverse_affine)
+    assert mode in ("solve", "fixed", "none"), reverse_affine
+    want_A = affine and mode == "fixed"
+    fwd = track_pyramid(
         pyr0, pyr1, uv0, init_d, active,
         win=win, iters=iters, levels=levels, iters_coarse=iters_coarse,
-        eps=eps, affine=affine,
+        eps=eps, affine=affine, return_affine=want_A,
     )
+    if want_A:
+        uv1, ok_f, A = fwd
+    else:
+        uv1, ok_f = fwd
     rl = levels if reverse_levels is None else min(reverse_levels, levels)
     # reverse pass: only forward survivors need the round-trip check
     act_b = ok_f if active is None else (active & ok_f)
     uv0_back, ok_b = track_pyramid(
         pyr1[:rl], pyr0[:rl], uv1, uv0 - uv1, act_b,
+        -A if want_A else None,
         win=win, iters=iters, levels=rl, iters_coarse=iters_coarse,
-        eps=eps, affine=affine and reverse_affine,
+        eps=eps, affine=affine and mode == "solve",
     )
     err = jnp.linalg.norm(uv0_back - uv0, axis=-1)
     return uv1, ok_f & ok_b & (err <= max_reverse_err)

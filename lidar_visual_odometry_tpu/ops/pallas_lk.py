@@ -324,7 +324,7 @@ def _lk_level_kernel(win, iters, eps, affine, mxu, unroll, H, Hpad, W,
     jax.lax.fori_loop(0, fb, per_feature, 0, unroll=unroll)
 
 
-def _lk_level_kernel_b8(win, iters, eps, affine, H, Hpad, W, fb,
+def _lk_level_kernel_b8(win, iters, eps, affine, fixed_aff, H, Hpad, W, fb,
                         q_ref, i0_ref, i1_ref, out_ref):
     """Batched-feature body: ONE shared while_loop iterates all ``fb``
     features together, with per-feature masked convergence.
@@ -346,7 +346,16 @@ def _lk_level_kernel_b8(win, iters, eps, affine, H, Hpad, W, fb,
     8/16/32 → 1.55/2.24/2.31 ms non-affine, 3.56/3.89/4.19 affine on v5e
     at the bench shape): 8 chains already saturate the scheduler, and a
     bigger block both raises register/VMEM pressure and makes the shared
-    loop wait on a larger block's slowest feature."""
+    loop wait on a larger block's slowest feature.
+
+    ``fixed_aff``: translation-only 2×2 solve whose residual is corrected
+    by a CONSTANT per-feature affine deformation read from q columns 5-8
+    (the forward solve's fitted params, negated — the reverse-gate use).
+    Costs the non-affine setup (3 Gram sums, no Cholesky) while keeping
+    the deformation compensation that the round-trip gate needs; with
+    zero params it is numerically identical to the plain non-affine body.
+    ``affine`` mode additionally writes the fitted affine params to out
+    columns 4-7 when the out block is 8 wide (``return_affine``)."""
     Wpad = i0_ref.shape[1]
     r = (win - 1) / 2.0
     corner, strip, mix = _make_samplers(win, H, Hpad, W, Wpad)
@@ -366,7 +375,8 @@ def _lk_level_kernel_b8(win, iters, eps, affine, H, Hpad, W, fb,
         txs, tys, d0s = [], [], []
         ts, jxs, jys, oks = [], [], [], []
         setups = []
-        if affine:
+        fas = []
+        if affine or fixed_aff:
             rr = jnp.float32(r)
             oxg = jax.lax.broadcasted_iota(
                 jnp.int32, (win, win), 1
@@ -399,6 +409,9 @@ def _lk_level_kernel_b8(win, iters, eps, affine, H, Hpad, W, fb,
             if not affine:
                 inv_det = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-12), 0.0)
                 setups.append((a11, a12, a22, inv_det))
+                if fixed_aff:
+                    fas.append((q_ref[f, 5], q_ref[f, 6],
+                                q_ref[f, 7], q_ref[f, 8]))
             else:
                 cols = (jx, jy, jx * oxg, jx * oyg, jy * oxg, jy * oyg)
                 Hm = [[None] * 6 for _ in range(6)]
@@ -449,6 +462,16 @@ def _lk_level_kernel_b8(win, iters, eps, affine, H, Hpad, W, fb,
                 if not affine:
                     a11, a12, a22, inv_det = setups[f]
                     e = curs[f] - ts[f]
+                    if fixed_aff:
+                        # constant deformation feedback (forward-fitted
+                        # params, supplied via q cols 5-8) — exact no-op
+                        # when the params are zero
+                        fa = fas[f]
+                        e = (
+                            e
+                            + (fa[0] * oxg + fa[1] * oyg) * jxs[f]
+                            + (fa[2] * oxg + fa[3] * oyg) * jys[f]
+                        )
                     b1 = jnp.sum(e * jxs[f])
                     b2 = jnp.sum(e * jys[f])
                     dp = [inv_det * (a22 * b1 - a12 * b2),
@@ -493,6 +516,14 @@ def _lk_level_kernel_b8(win, iters, eps, affine, H, Hpad, W, fb,
             out_ref[f, 1] = jnp.where(acts[f], dy, d0s[f][1])
             out_ref[f, 2] = (oks[f] & acts[f]).astype(jnp.float32)
             out_ref[f, 3] = jnp.float32(0.0)
+            if out_ref.shape[-1] == 8:
+                # return_affine: fitted deformation params (0 for rows the
+                # solve never touched)
+                gate = oks[f] & acts[f]
+                for k in range(4):
+                    out_ref[f, 4 + k] = jnp.where(
+                        gate, ps[f * npar + 2 + k], jnp.float32(0.0)
+                    )
 
     @pl.when(~any_act)
     def _skip_block():
@@ -501,16 +532,21 @@ def _lk_level_kernel_b8(win, iters, eps, affine, H, Hpad, W, fb,
             out_ref[f, 1] = q_ref[f, 3]
             out_ref[f, 2] = jnp.float32(0.0)
             out_ref[f, 3] = jnp.float32(0.0)
+            if out_ref.shape[-1] == 8:
+                for k in range(4):
+                    out_ref[f, 4 + k] = jnp.float32(0.0)
 
 
 @partial(jax.jit, static_argnames=("win", "iters", "eps", "fb", "affine",
-                                   "mxu", "unroll", "batch8", "interpret"))
+                                   "mxu", "unroll", "batch8", "interpret",
+                                   "return_affine"))
 def lk_level(
     img0: jax.Array,    # (H, W) float32
     img1: jax.Array,
     uv0: jax.Array,     # (N, 2) feature centers in this level's pixels
     guess: jax.Array,   # (N, 2) initial displacement
     active: jax.Array | None = None,  # (N,) bool; False rows skip the solve
+    fixed_affine: jax.Array | None = None,  # (N, 4) constant deformation
     *,
     win: int = 25,
     iters: int = 10,
@@ -521,17 +557,28 @@ def lk_level(
     unroll: int = 1,
     batch8: bool = False,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    return_affine: bool = False,
+):
     """Refined displacement + Hessian-ok flag for one pyramid level.
 
-    Returns (d (N, 2), ok (N,)). N must be a multiple of fb; images are
-    lane-padded internally. Inactive rows return (guess, ok=False) without
-    touching the images. Template gradients are derived in-kernel (see
-    module docstring) — no gradient images are taken or computed.
+    Returns (d (N, 2), ok (N,)) — plus the fitted affine params (N, 4)
+    when ``return_affine`` (affine + batch8 only). N must be a multiple of
+    fb; images are lane-padded internally. Inactive rows return
+    (guess, ok=False) without touching the images. Template gradients are
+    derived in-kernel (see module docstring) — no gradient images are
+    taken or computed. ``fixed_affine`` (batch8, non-affine only) applies
+    a CONSTANT per-feature deformation correction to the residual — the
+    translation-only solve with the forward pass's fitted params (negated)
+    is the cheap reverse-gate mode.
     """
     H, W = img0.shape
     N = uv0.shape[0]
     assert N % fb == 0, (N, fb)
+    fixed_aff = fixed_affine is not None
+    if fixed_aff:
+        assert batch8 and not affine, "fixed_affine: batch8 non-affine only"
+    if return_affine:
+        assert batch8 and affine, "return_affine: batch8 affine only"
     Wpad = max(-(-W // 128) * 128, 256)
     rows = _strip_rows(win)
     # rows are padded to 8-alignment (and at least one full strip) exactly
@@ -551,12 +598,15 @@ def lk_level(
         jnp.ones((N, 1), jnp.float32) if active is None
         else active.astype(jnp.float32)[:, None]
     )
-    q = jnp.concatenate(
-        [uv0.astype(jnp.float32), guess.astype(jnp.float32), act], axis=-1
-    )  # (N, 5)
+    qcols = [uv0.astype(jnp.float32), guess.astype(jnp.float32), act]
+    if fixed_aff:
+        qcols.append(fixed_affine.astype(jnp.float32))
+    q = jnp.concatenate(qcols, axis=-1)  # (N, 5) or (N, 9)
+    qw = q.shape[1]
+    ow = 8 if return_affine else 4
     kern = (
-        partial(_lk_level_kernel_b8, win, iters, eps, affine, H, Hpad, W,
-                fb)
+        partial(_lk_level_kernel_b8, win, iters, eps, affine, fixed_aff,
+                H, Hpad, W, fb)
         if batch8 else
         partial(_lk_level_kernel, win, iters, eps, affine, mxu, unroll,
                 H, Hpad, W, fb)
@@ -565,14 +615,18 @@ def lk_level(
         kern,
         grid=(N // fb,),
         in_specs=[
-            pl.BlockSpec((fb, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((fb, qw), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((Hpad, Wpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Hpad, Wpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((fb, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((N, 4), jnp.float32),
+        out_specs=pl.BlockSpec((fb, ow), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((N, ow), jnp.float32),
         interpret=interpret,
     )(q, padw(img0), padw(img1))
+    if return_affine:
+        return out[:, :2], out[:, 2] > 0.5, out[:, 4:8]
     return out[:, :2], out[:, 2] > 0.5

@@ -180,22 +180,23 @@ class VisualConfig:
                                       # featureTracking.cpp:203-211, carries
                                       # this bias); measured flow bias
                                       # 0.5→0.02 px on the corridor bench
-    lk_reverse_affine: bool = True    # affine solve on the reverse GATE
-                                      # leg too. Tempting to disable: the
-                                      # affine setup costs ~3.6 vs 0.84
-                                      # ms/call even when the warm-started
-                                      # loop exits immediately. MEASURED
-                                      # WORSE (v5e bench corridor,
-                                      # scripts/exp_lk_reverse_affine.py):
-                                      # 70.7 fps / ate_visual 0.1532 m vs
-                                      # 66.5 / 0.0821 — the translation-
-                                      # only reverse leg re-absorbs patch
-                                      # deformation into its round-trip
-                                      # error, so the 1 px gate
-                                      # preferentially kills high-zoom
-                                      # (near, high-parallax) features —
-                                      # the most informative rows of the
-                                      # pose solve. Keep the affine gate.
+    lk_reverse_affine: bool | str = True
+                                      # reverse-GATE leg solve mode:
+                                      # True/"solve" (default), "fixed"
+                                      # (translation-only + the forward
+                                      # fit's negated affine as a constant
+                                      # residual correction), False/"none".
+                                      # All three measured on v5e
+                                      # (scripts/exp_lk_reverse_affine.py):
+                                      # solve 63.7 fps / 0.0821 m, fixed
+                                      # 74.6 / 0.1445, none 68.3 / 0.1532
+                                      # — the cheap modes cost ~2x
+                                      # ate_visual, and "fixed" barely
+                                      # beating "none" shows the solve
+                                      # gate wins as a per-feature 6-DOF
+                                      # model-fit TEST, not by deformation
+                                      # compensation (BASELINE.md probes
+                                      # table). Keep the affine gate.
     reverse_check_px: float = 1.0     # fwd/bwd consistency gate (featureTracking.cpp:214-237)
     lk_reverse_levels: int = 0        # 0 = full-pyramid reverse (reference);
                                       # n>0: shallow reverse over the finest n

@@ -39,7 +39,7 @@ def main():
         [R0.T @ (seq.pose(k)[1] - t00) for k in range(bench.N_FRAMES)]
     )
 
-    for rev_aff in (True, False):
+    for rev_aff in (True, "fixed", False):
         cfg = dataclasses.replace(
             base,
             visual=dataclasses.replace(

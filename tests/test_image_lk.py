@@ -437,12 +437,13 @@ def test_reverse_affine_gate_leaves_forward_flow_unchanged(rng):
         pyr0, pyr1, uv, win=15, iters=10, levels=3, max_reverse_err=1.0,
         affine=True, reverse_affine=True,
     )
-    uv_t, ok_t = lk.track_pyramid_reverse_checked(
-        pyr0, pyr1, uv, win=15, iters=10, levels=3, max_reverse_err=1.0,
-        affine=True, reverse_affine=False,
-    )
-    np.testing.assert_array_equal(np.asarray(uv_a), np.asarray(uv_t))
-    oa, ot = np.asarray(ok_a), np.asarray(ok_t)
-    assert oa.sum() > 32
-    # pure translation has no deformation to absorb: gates must agree
-    assert (oa & ot).sum() >= 0.95 * oa.sum()
+    for mode in (False, "fixed"):
+        uv_t, ok_t = lk.track_pyramid_reverse_checked(
+            pyr0, pyr1, uv, win=15, iters=10, levels=3, max_reverse_err=1.0,
+            affine=True, reverse_affine=mode,
+        )
+        np.testing.assert_array_equal(np.asarray(uv_a), np.asarray(uv_t))
+        oa, ot = np.asarray(ok_a), np.asarray(ok_t)
+        assert oa.sum() > 32
+        # pure translation has no deformation to absorb: gates must agree
+        assert (oa & ot).sum() >= 0.95 * oa.sum()
