@@ -207,7 +207,6 @@ class VisualConfig:
                                       # (coarse levels just need to land in
                                       # the next level's basin, < win/2 px)
     fast_threshold: float = 30.0
-    depth_knn: int = 3                # depth association KNN (Frontend.cpp:241)
     gn_iters: int = 150               # visual GN cap (Frontend.cpp:401); the
                                       # |δ|<gn_tol while_loop early-out makes
                                       # typical frames converge in 10-30 iters
