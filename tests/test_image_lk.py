@@ -362,6 +362,84 @@ class TestPallasLK:
             np.asarray(d_eps).mean(0), [-2.0, -3.0], atol=1e-2
         )
 
+    def test_level_kernel_fixed_affine_and_return_affine(self, rng):
+        """The batch8 kernel's fixed_affine input and return_affine output:
+        (a) zero fixed params are bit-identical to the plain solve,
+        (b) nonzero fixed params match the XLA fixed-affine path,
+        (c) return_affine leaves (d, ok) unchanged and matches the XLA
+        fitted params on well-conditioned features."""
+        from lidar_visual_odometry_tpu.ops import pallas_lk
+        from lidar_visual_odometry_tpu.ops.image import gradients
+
+        H, W = 120, 300
+        base = rng.random((H + 10, W + 10)).astype(np.float32)
+
+        def box(a, k=5):
+            c = np.cumsum(np.pad(a, ((k, k), (0, 0))), axis=0)
+            a = (c[k:] - c[:-k])[: a.shape[0]] / k
+            c = np.cumsum(np.pad(a, ((0, 0), (k, k))), axis=1)
+            return (c[:, k:] - c[:, :-k])[:, : a.shape[1]] / k
+
+        sm = box(box(base)).astype(np.float32)
+        img0, img1 = sm[:H, :W], sm[3:H + 3, 2:W + 2]   # true shift (-2, -3)
+        i0, i1 = jnp.asarray(img0), jnp.asarray(img1)
+
+        N = 64
+        uv = jnp.asarray(np.stack(
+            [rng.uniform(20, W - 20, N), rng.uniform(20, H - 20, N)], -1
+        ).astype(np.float32))
+        zero = jnp.zeros((N, 2), jnp.float32)
+
+        # (a) fixed_affine = 0 is the plain non-affine solve, bit-exact
+        d_p, ok_p = pallas_lk.lk_level(
+            i0, i1, uv, zero, win=15, iters=10, batch8=True, interpret=True,
+        )
+        d_0, ok_0 = pallas_lk.lk_level(
+            i0, i1, uv, zero, None, jnp.zeros((N, 4), jnp.float32),
+            win=15, iters=10, batch8=True, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_0))
+        np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_0))
+
+        # (b) nonzero fixed params: kernel vs XLA fixed-affine path
+        fa = jnp.asarray(
+            rng.normal(0, 0.01, (N, 4)).astype(np.float32)
+        )
+        d_k, ok_k = pallas_lk.lk_level(
+            i0, i1, uv, zero, None, fa,
+            win=15, iters=10, batch8=True, interpret=True,
+        )
+        gx, gy = gradients(i0)
+        d_x, ok_x = lk._track_level(
+            i0, i1, gx, gy, uv, zero, win=15, iters=10, fixed_affine=fa,
+        )
+        m = np.asarray(ok_k) & np.asarray(ok_x)
+        assert m.sum() > 48
+        np.testing.assert_allclose(
+            np.asarray(d_k)[m], np.asarray(d_x)[m], atol=1e-3
+        )
+
+        # (c) return_affine: (d, ok) unchanged, A matches the XLA fit
+        d_a, ok_a = pallas_lk.lk_level(
+            i0, i1, uv, zero, win=15, iters=10, affine=True, batch8=True,
+            interpret=True,
+        )
+        d_r, ok_r, A_k = pallas_lk.lk_level(
+            i0, i1, uv, zero, win=15, iters=10, affine=True, batch8=True,
+            return_affine=True, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_r))
+        np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_r))
+        _, ok_xa, A_x = lk._track_level(
+            i0, i1, gx, gy, uv, zero, win=15, iters=10, affine=True,
+            return_affine=True,
+        )
+        ma = np.asarray(ok_r) & np.asarray(ok_xa)
+        assert ma.sum() > 48
+        np.testing.assert_allclose(
+            np.asarray(A_k)[ma], np.asarray(A_x)[ma], atol=2e-3
+        )
+
 
 class TestBoxSum:
     def test_matches_convolve2d(self, rng):
